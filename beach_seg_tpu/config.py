@@ -1,0 +1,131 @@
+"""Framework configuration (ref: /root/reference/src/config.py:1-99).
+
+Mirrors the reference's ``BeachSegConfig`` field-for-field so the dotlist CLI
+stays drop-in compatible, with TPU-native additions (mesh axes, dtype policy)
+replacing the Lightning-specific knobs. ``nodata`` must remain class index 0
+(asserted by the data layer, ref src/data.py:153).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+CLASSES = (
+    "nodata",
+    "sand",
+    "water",
+    "veg",
+)
+
+# Resample names follow PIL semantics; the reference stores a PIL enum
+# (src/config.py:48). We keep strings to stay YAML/CLI friendly.
+RESAMPLE_BICUBIC = "bicubic"
+RESAMPLE_NEAREST = "nearest"
+
+
+@dataclass(frozen=True)
+class BeachSegConfig:
+    project: str = "beach_seg"
+    seed: int = 42
+    data: Path = Path("/data/BorderField")
+    model_training_root: Path = Path("/data/results")
+    classes: tuple[str, ...] = CLASSES
+
+    # --- TPU runtime (replaces Lightning devices/accelerator/precision) ---
+    # mesh shape: data axis shards crops/dates (the natural DP unit);
+    # model axis enables TP/FSDP of the frozen backbone for larger models.
+    mesh_data: int = -1  # -1 → all available devices on the data axis
+    mesh_model: int = 1
+    # compute dtype for the frozen backbone matmuls; params stay fp32.
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    deterministic: bool = False
+    num_viz_images: int = 9
+    viz_size: int = 224
+
+    epochs: int = 1
+    debug: bool = False
+    world_size: int = 1  # number of host processes (multi-host TPU pods)
+    grad_accum_steps: int = 1
+    log_every_n_steps: int = 10
+    precision: str = "32-true"  # kept for CLI compat; see compute_dtype
+    workers: int = -1
+    batch_size: int = 1
+
+    checkpoint: str = "BAAI/seggpt-vit-large"
+
+    monitor_metric: str = "val/f1"
+    monitor_mode: str = "max"
+
+    crop_size: int = 112
+    inpt_size: int = 448
+    resample: str = RESAMPLE_BICUBIC
+
+    # --- augmentation probabilities/magnitudes (ref src/config.py:50-68) ---
+    horizontal_flip: float = 0.5
+    vertical_flip: float = 0.5
+    hue: float = 0.1
+    saturation: float = 0.1
+    contrast: float = 0.1
+    brightness: float = 0.1
+    scale: tuple[float, float] = (0.4, 1.0)
+    sharpness: float = 1.0
+    sharpness_p: float = 0.2
+    erasing_scale: tuple[float, float] = (0.02, 0.05)
+    erasing_p: float = 0.1
+    gauss_mean: float = 0.0
+    gauss_std: float = 0.1
+    gauss_p: float = 0.1
+    channel_shift_limit: float = 0.01
+    channel_shift_p: float = 0.2
+    mosaic_p: float = 0.0
+    jigsaw_grid: tuple[int, int] = (2, 2)
+    jigsaw_p: float = 0.0
+
+    # --- optimizer (ref src/config.py:70-78) ---
+    lr: float = 1e-3
+    loss_beta: float = 0.01
+    base_lr_batch_size: int = 1
+    warmup_epochs: int = 0
+    init_lr: float = 5e-4
+    min_lr: float = 5e-4
+    optimizer: str = "adamw"
+    scheduler: str = "cosine"
+    # NOTE: in the reference this field lacks a type annotation, so OmegaConf
+    # silently drops it from the structured config (src/config.py:78). We keep
+    # it as a real field — divergence is intentional and documented.
+    ema_alpha: float = 0.99
+
+
+@dataclass(frozen=True)
+class PredictionConfig(BeachSegConfig):
+    """Prompt-tuned inference overlay (ref: src/predict.py:24-33)."""
+
+    train_run_dir: Path | None = None
+    prediction_root: Path | None = None
+    overlap: int = 0
+
+
+@dataclass(frozen=True)
+class PredConfig(BeachSegConfig):
+    """Zero-shot ensemble inference overlay (ref: src/predict_no_prompt.py:36-44)."""
+
+    prediction_root: Path | None = None
+    n_prompts: int = 2
+    zero_shot_crop_size: int = 336
+    feature_ensemble: bool = True
+
+
+def cpu_count() -> int:
+    cnt = os.cpu_count()
+    return 0 if cnt is None else cnt
+
+
+def num_workers(conf: BeachSegConfig) -> int:
+    """Host worker threads per process (ref: src/config.py:81-91)."""
+    nd = max(1, conf.world_size)
+    per_proc = cpu_count() // nd
+    if conf.workers == -1:
+        return per_proc
+    return min(per_proc, conf.workers)
