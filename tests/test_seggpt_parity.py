@@ -1,0 +1,152 @@
+"""Numerical parity: Flax SegGPT vs the installed torch reference (random
+weights, tiny config) — SURVEY.md §4.2 test strategy.
+
+The real BAAI checkpoint is unavailable offline, but parity on randomly
+initialized weights over the identical architecture is an equally strong
+equivalence check (it exercises every op and every weight layout).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from beach_seg_tpu.models.seggpt.config import tiny_config
+from beach_seg_tpu.models.seggpt.convert import config_from_hf, convert_torch_state_dict, load_params, save_params
+from beach_seg_tpu.models.seggpt.model import SegGPT, default_bool_masked_pos, seggpt_loss
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def make_torch_model(tcfg):
+    from transformers.models.seggpt.configuration_seggpt import SegGptConfig
+    from transformers.models.seggpt.modeling_seggpt import SegGptForImageSegmentation
+
+    hf_cfg = SegGptConfig(
+        hidden_size=tcfg.hidden_size,
+        num_hidden_layers=tcfg.num_hidden_layers,
+        num_attention_heads=tcfg.num_attention_heads,
+        mlp_dim=tcfg.mlp_dim,
+        image_size=list(tcfg.image_size),
+        patch_size=tcfg.patch_size,
+        pretrain_image_size=tcfg.pretrain_image_size,
+        decoder_hidden_size=tcfg.decoder_hidden_size,
+        merge_index=tcfg.merge_index,
+        intermediate_hidden_state_indices=list(tcfg.intermediate_hidden_state_indices),
+        drop_path_rate=tcfg.drop_path_rate,
+        beta=tcfg.beta,
+    )
+    torch.manual_seed(0)
+    model = SegGptForImageSegmentation(hf_cfg).eval()
+    return model, hf_cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tcfg = tiny_config()
+    tmodel, hf_cfg = make_torch_model(tcfg)
+    cfg = config_from_hf(hf_cfg)
+    params = jax.tree.map(jnp.asarray, convert_torch_state_dict(tmodel.state_dict(), cfg))
+    jmodel = SegGPT(cfg, precision=HI)
+    rng = np.random.default_rng(1)
+    h, w = cfg.image_size[0] // 2, cfg.image_size[1]
+    batch = 2
+    inputs = {
+        "pixel_values": rng.standard_normal((batch, 3, h, w)).astype(np.float32),
+        "prompt_pixel_values": rng.standard_normal((batch, 3, h, w)).astype(np.float32),
+        "prompt_masks": rng.standard_normal((batch, 3, h, w)).astype(np.float32),
+    }
+    labels = rng.standard_normal((batch, 3, h, w)).astype(np.float32)
+    return tcfg, cfg, tmodel, jmodel, params, inputs, labels
+
+
+def to_nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def test_forward_parity_inference(setup):
+    _, cfg, tmodel, jmodel, params, inputs, _ = setup
+    with torch.no_grad():
+        ref = tmodel(**{k: torch.from_numpy(v) for k, v in inputs.items()}).pred_masks.numpy()
+    out = jmodel.apply({"params": params}, *(to_nhwc(inputs[k]) for k in
+                        ("pixel_values", "prompt_pixel_values", "prompt_masks")))
+    got = np.transpose(np.asarray(out["pred_masks"]), (0, 3, 1, 2))
+    assert np.abs(ref - got).max() < 2e-4, np.abs(ref - got).max()
+
+
+def test_forward_parity_with_labels_and_loss(setup):
+    _, cfg, tmodel, jmodel, params, inputs, labels = setup
+    bmp = np.asarray(default_bool_masked_pos(cfg, 2))
+    with torch.no_grad():
+        ref = tmodel(
+            **{k: torch.from_numpy(v) for k, v in inputs.items()},
+            labels=torch.from_numpy(labels),
+            bool_masked_pos=torch.from_numpy(bmp),
+        )
+    out = jmodel.apply(
+        {"params": params},
+        *(to_nhwc(inputs[k]) for k in ("pixel_values", "prompt_pixel_values", "prompt_masks")),
+        labels=to_nhwc(labels),
+        bool_masked_pos=jnp.asarray(bmp),
+    )
+    got = np.transpose(np.asarray(out["pred_masks"]), (0, 3, 1, 2))
+    assert np.abs(ref.pred_masks.numpy() - got).max() < 2e-4
+    assert abs(float(ref.loss) - float(out["loss"])) < 1e-5
+
+
+def test_forward_parity_feature_ensemble(setup):
+    _, cfg, tmodel, jmodel, params, inputs, _ = setup
+    with torch.no_grad():
+        ref = tmodel(
+            **{k: torch.from_numpy(v) for k, v in inputs.items()}, feature_ensemble=True
+        ).pred_masks.numpy()
+    out = jmodel.apply(
+        {"params": params},
+        *(to_nhwc(inputs[k]) for k in ("pixel_values", "prompt_pixel_values", "prompt_masks")),
+        feature_ensemble=True,
+    )
+    got = np.transpose(np.asarray(out["pred_masks"]), (0, 3, 1, 2))
+    assert np.abs(ref - got).max() < 2e-4
+
+
+def test_forward_parity_semantic_embedding(setup):
+    _, cfg, tmodel, jmodel, params, inputs, _ = setup
+    with torch.no_grad():
+        ref = tmodel(
+            **{k: torch.from_numpy(v) for k, v in inputs.items()}, embedding_type="semantic"
+        ).pred_masks.numpy()
+    out = jmodel.apply(
+        {"params": params},
+        *(to_nhwc(inputs[k]) for k in ("pixel_values", "prompt_pixel_values", "prompt_masks")),
+        embedding_type="semantic",
+    )
+    got = np.transpose(np.asarray(out["pred_masks"]), (0, 3, 1, 2))
+    assert np.abs(ref - got).max() < 2e-4
+
+
+def test_params_npz_round_trip(setup, tmp_path):
+    _, cfg, _, jmodel, params, inputs, _ = setup
+    save_params(jax.tree.map(np.asarray, params), tmp_path / "p.npz")
+    params2 = load_params(tmp_path / "p.npz")
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = jax.tree_util.tree_leaves_with_path(jax.tree.map(jnp.asarray, params2))
+    assert len(flat1) == len(flat2)
+    for (p1, a), (p2, b) in zip(flat1, flat2):
+        assert p1 == p2
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_droppath_stochastic_train_mode(setup):
+    """Drop-path must be active (stochastic) in train mode, identity in eval."""
+    tcfg, cfg, _, _, params, inputs, _ = setup
+    jmodel = SegGPT(cfg, precision=HI)
+    args = tuple(to_nhwc(inputs[k]) for k in ("pixel_values", "prompt_pixel_values", "prompt_masks"))
+    o1 = jmodel.apply({"params": params}, *args, deterministic=False,
+                      rngs={"droppath": jax.random.PRNGKey(0)})
+    o2 = jmodel.apply({"params": params}, *args, deterministic=False,
+                      rngs={"droppath": jax.random.PRNGKey(1)})
+    o3 = jmodel.apply({"params": params}, *args)
+    assert not np.allclose(np.asarray(o1["pred_masks"]), np.asarray(o2["pred_masks"]))
+    assert np.isfinite(np.asarray(o3["pred_masks"])).all()
