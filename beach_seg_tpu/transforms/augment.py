@@ -1,0 +1,272 @@
+"""PRNG-keyed batched augmentations — the kornia pipeline rebuilt in JAX.
+
+Replaces the reference's on-device kornia ``AugmentationSequential``
+(ref /root/reference/src/data.py:195-234): train = VFlip → HFlip → ColorJiggle
+(hue/sat/contrast/brightness) → RandomSharpness → RandomErasing →
+RandomGaussianNoise → Normalize; eval = CenterCrop → Normalize. Geometric ops
+(flips, crop) are applied to masks/nodata with NEAREST semantics (flips don't
+resample, so "nearest" is exact); intensity ops touch the image only — the
+same split kornia's IMAGE/MASK data keys give the reference.
+
+TPU-native design: every op is a pure function of an explicit PRNG key, batched
+with ``jax.vmap`` over per-sample keys, fully jit-compatible (static shapes,
+probability gates via ``jnp.where`` — both branches are cheap VPU work). The
+whole train pipeline fuses into one XLA program with no host sync.
+
+Stochastic parity with kornia is impossible by construction (different RNG
+streams); the op *families* and hyperparameter meanings match. Documented
+divergences: color ops apply in fixed order (brightness→contrast→saturation→
+hue) rather than kornia's per-call random order; sharpness uses torchvision's
+3×3 smoothing-blend formulation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from beach_seg_tpu.transforms.palette import IMAGENET_MEAN, IMAGENET_STD
+
+
+@dataclass(frozen=True)
+class AugmentParams:
+    """Train-time augmentation knobs (ref src/config.py:50-68)."""
+
+    vertical_flip: float = 0.5
+    horizontal_flip: float = 0.5
+    hue: float = 0.1
+    saturation: float = 0.1
+    contrast: float = 0.1
+    brightness: float = 0.1
+    sharpness: float = 1.0
+    sharpness_p: float = 0.2
+    erasing_scale: tuple[float, float] = (0.02, 0.05)
+    erasing_ratio: tuple[float, float] = (0.3, 3.3)
+    erasing_p: float = 0.1
+    gauss_mean: float = 0.0
+    gauss_std: float = 0.1
+    gauss_p: float = 0.1
+
+    @classmethod
+    def from_config(cls, conf) -> "AugmentParams":
+        return cls(
+            vertical_flip=conf.vertical_flip,
+            horizontal_flip=conf.horizontal_flip,
+            hue=conf.hue,
+            saturation=conf.saturation,
+            contrast=conf.contrast,
+            brightness=conf.brightness,
+            sharpness=conf.sharpness,
+            sharpness_p=conf.sharpness_p,
+            erasing_scale=tuple(conf.erasing_scale),
+            erasing_p=conf.erasing_p,
+            gauss_mean=conf.gauss_mean,
+            gauss_std=conf.gauss_std,
+            gauss_p=conf.gauss_p,
+        )
+
+
+def normalize_imagenet(x: jnp.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> jnp.ndarray:
+    """(…, H, W, 3) in [0,1] → normalized (kornia K.Normalize equivalent)."""
+    return (x - jnp.asarray(mean, x.dtype)) / jnp.asarray(std, x.dtype)
+
+
+def denormalize_imagenet(x: jnp.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> jnp.ndarray:
+    return x * jnp.asarray(std, x.dtype) + jnp.asarray(mean, x.dtype)
+
+
+def center_crop(x: jnp.ndarray, size: int, spatial_axes: tuple[int, int] = (-3, -2)) -> jnp.ndarray:
+    """Static center crop on the two spatial axes (kornia K.CenterCrop)."""
+    h_ax, w_ax = [a % x.ndim for a in spatial_axes]
+    h, w = x.shape[h_ax], x.shape[w_ax]
+    top, left = (h - size) // 2, (w - size) // 2
+    idx = [slice(None)] * x.ndim
+    idx[h_ax] = slice(top, top + size)
+    idx[w_ax] = slice(left, left + size)
+    return x[tuple(idx)]
+
+
+# --------------------------------------------------------------------------
+# single-sample ops (image: (H, W, 3) float in [0,1])
+# --------------------------------------------------------------------------
+
+
+def _rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_delta = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe_delta
+    gc = (maxc - g) / safe_delta
+    bc = (maxc - b) / safe_delta
+    h = jnp.where(maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    rgb = jnp.stack(
+        [
+            jnp.choose(i, [v, q, p, p, t, v], mode="clip"),
+            jnp.choose(i, [t, v, v, q, p, p], mode="clip"),
+            jnp.choose(i, [p, p, t, v, v, q], mode="clip"),
+        ],
+        axis=-1,
+    )
+    return rgb
+
+
+def _gray(img: jnp.ndarray) -> jnp.ndarray:
+    w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+    return jnp.sum(img * w, axis=-1, keepdims=True)
+
+
+def color_jiggle(key, img: jnp.ndarray, p: AugmentParams) -> jnp.ndarray:
+    """brightness → contrast → saturation → hue, factors ~ U around identity
+    (kornia K.ColorJiggle family, ref data.py:201-206)."""
+    kb, kc, ks, kh = random.split(key, 4)
+    if p.brightness > 0:
+        f = random.uniform(kb, (), minval=max(0.0, 1 - p.brightness), maxval=1 + p.brightness)
+        img = jnp.clip(img * f, 0.0, 1.0)
+    if p.contrast > 0:
+        f = random.uniform(kc, (), minval=max(0.0, 1 - p.contrast), maxval=1 + p.contrast)
+        mean = jnp.mean(_gray(img))
+        img = jnp.clip((img - mean) * f + mean, 0.0, 1.0)
+    if p.saturation > 0:
+        f = random.uniform(ks, (), minval=max(0.0, 1 - p.saturation), maxval=1 + p.saturation)
+        g = _gray(img)
+        img = jnp.clip(g + (img - g) * f, 0.0, 1.0)
+    if p.hue > 0:
+        d = random.uniform(kh, (), minval=-p.hue, maxval=p.hue)
+        hsv = _rgb_to_hsv(img)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + d) % 1.0)
+        img = jnp.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
+    return img
+
+
+def random_sharpness(key, img: jnp.ndarray, p: AugmentParams) -> jnp.ndarray:
+    """Unsharp-style blend with the torchvision 3×3 smoothing kernel
+    ([[1,1,1],[1,5,1],[1,1,1]]/13, borders preserved); factor ~ U(0, sharpness)
+    gated at probability ``sharpness_p`` (kornia K.RandomSharpness)."""
+    kf, kp = random.split(key)
+    kernel = jnp.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], img.dtype) / 13.0
+    x = img[None].transpose(0, 3, 1, 2)  # (1, C, H, W)
+    smooth = jax.lax.conv_general_dilated(
+        x.reshape(-1, 1, *x.shape[2:]),
+        kernel[None, None],
+        window_strides=(1, 1),
+        padding="SAME",
+    ).reshape(x.shape).transpose(0, 2, 3, 1)[0]
+    smooth = jnp.clip(smooth, 0.0, 1.0)
+    # torchvision keeps the 1-px border unblended
+    h, w = img.shape[:2]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 1)
+    interior = (ys > 0) & (ys < h - 1) & (xs > 0) & (xs < w - 1)
+    smooth = jnp.where(interior, smooth, img)
+    factor = random.uniform(kf, (), maxval=p.sharpness)
+    out = jnp.clip(img + factor * (img - smooth), 0.0, 1.0)
+    apply = random.bernoulli(kp, float(p.sharpness_p))
+    return jnp.where(apply, out, img)
+
+
+def random_erasing(key, img: jnp.ndarray, p: AugmentParams) -> jnp.ndarray:
+    """Zero a random rectangle: area ~ U(scale)·H·W, log-uniform aspect,
+    uniform position; gated at ``erasing_p`` (kornia K.RandomErasing)."""
+    ka, kr, ky, kx, kp = random.split(key, 5)
+    h, w = img.shape[:2]
+    area = random.uniform(ka, (), minval=p.erasing_scale[0], maxval=p.erasing_scale[1]) * h * w
+    log_r = random.uniform(
+        kr, (), minval=jnp.log(p.erasing_ratio[0]), maxval=jnp.log(p.erasing_ratio[1])
+    )
+    aspect = jnp.exp(log_r)
+    eh = jnp.clip(jnp.round(jnp.sqrt(area * aspect)), 1, h).astype(jnp.int32)
+    ew = jnp.clip(jnp.round(jnp.sqrt(area / aspect)), 1, w).astype(jnp.int32)
+    top = random.randint(ky, (), 0, h)
+    left = random.randint(kx, (), 0, w)
+    top = jnp.minimum(top, h - eh)
+    left = jnp.minimum(left, w - ew)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 1)
+    inside = (ys >= top) & (ys < top + eh) & (xs >= left) & (xs < left + ew)
+    apply = random.bernoulli(kp, float(p.erasing_p))
+    return jnp.where(apply & inside, 0.0, img)
+
+
+def random_gaussian_noise(key, img: jnp.ndarray, p: AugmentParams) -> jnp.ndarray:
+    kn, kp = random.split(key)
+    noise = p.gauss_mean + p.gauss_std * random.normal(kn, img.shape, img.dtype)
+    apply = random.bernoulli(kp, float(p.gauss_p))
+    return jnp.where(apply, img + noise, img)
+
+
+# --------------------------------------------------------------------------
+# pipelines
+# --------------------------------------------------------------------------
+
+
+def _augment_one(key, img, mask, nodata, p: AugmentParams):
+    kv, kh, kc, ks, ke, kn = random.split(key, 6)
+    vflip = random.bernoulli(kv, float(p.vertical_flip))
+    hflip = random.bernoulli(kh, float(p.horizontal_flip))
+
+    def flip(x, axis, do):
+        return jnp.where(do, jnp.flip(x, axis=axis), x)
+
+    img = flip(flip(img, 0, vflip), 1, hflip)
+    mask = flip(flip(mask, 0, vflip), 1, hflip)
+    nodata = flip(flip(nodata, 0, vflip), 1, hflip)
+
+    img = color_jiggle(kc, img, p)
+    img = random_sharpness(ks, img, p)
+    img = random_erasing(ke, img, p)
+    img = random_gaussian_noise(kn, img, p)
+    return img, mask, nodata
+
+
+def train_augment(
+    key,
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    nodata: jnp.ndarray,
+    params: AugmentParams,
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
+):
+    """Batched train pipeline. image (B,H,W,3) in [0,1]; mask/nodata (B,H,W).
+
+    Returns (normalized image, mask, nodata); vmapped over per-sample keys.
+    """
+    keys = random.split(key, image.shape[0])
+    img, mask, nodata = jax.vmap(_augment_one, in_axes=(0, 0, 0, 0, None))(
+        keys, image.astype(jnp.float32), mask, nodata, params
+    )
+    return normalize_imagenet(img, mean, std), mask, nodata
+
+
+def eval_augment(
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    nodata: jnp.ndarray,
+    size: int,
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
+):
+    """Eval pipeline: CenterCrop(size) + Normalize (ref data.py:226-234)."""
+    img = center_crop(image.astype(jnp.float32), size)
+    mask = center_crop(mask, size, spatial_axes=(-2, -1))
+    nodata = center_crop(nodata, size, spatial_axes=(-2, -1))
+    return normalize_imagenet(img, mean, std), mask, nodata
