@@ -1,0 +1,90 @@
+"""Device mesh and sharding layout — the framework's parallelism substrate.
+
+Replaces the reference's Lightning/torch.distributed plumbing (ref
+/root/reference/src/train.py:97-107, SURVEY.md §2.13) with a
+``jax.sharding.Mesh`` over two axes:
+
+  - ``data``: shards the batch of shoreline crops/dates — the reference's
+    natural scaling unit (thousands of independent 448×448 tiles). Gradient
+    and metric reductions become XLA ``psum`` over this axis, riding ICI.
+  - ``model``: reserved for tensor-parallel / FSDP sharding of the frozen
+    307M-param backbone; size 1 for the flagship single-model runs.
+
+Everything is expressed as NamedShardings handed to ``jax.jit`` — XLA inserts
+the collectives; there is no hand-written NCCL/MPI analogue anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh. ``data=-1`` → all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}×{model} != {n} devices")
+    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis over ``data`` — for crop/tile batches."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """Device-put a host batch pytree with the leading axis on ``data``."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def pad_to_multiple(n: int, k: int) -> int:
+    """Smallest multiple of ``k`` ≥ ``n`` (batches must divide the data axis)."""
+    return -(-n // k) * k
+
+
+_TP_RULES: tuple[tuple[str, ...], ...] = (
+    # (param-path substring, partition spec) — first match wins. Column-parallel
+    # qkv/lin1, row-parallel proj/lin2: the classic Megatron split, expressed as
+    # sharding annotations only (XLA inserts the all-reduces).
+    ("qkv_kernel", (None, MODEL_AXIS)),
+    ("qkv_bias", (MODEL_AXIS,)),
+    ("lin1_kernel", (None, MODEL_AXIS)),
+    ("lin1_bias", (MODEL_AXIS,)),
+    ("proj_kernel", (MODEL_AXIS, None)),
+    ("lin2_kernel", (MODEL_AXIS, None)),
+)
+
+
+def param_sharding(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding tree for the SegGPT params: TP over the ``model`` axis
+    for the big encoder matmuls, replicated elsewhere.
+
+    With ``model=1`` every spec degenerates to replication, so this is safe to
+    apply unconditionally.
+    """
+
+    def spec_for(path: tuple) -> NamedSharding:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        for needle, spec in _TP_RULES:
+            if needle in name:
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: spec_for(p), params)

@@ -1,0 +1,80 @@
+"""Headline benchmark: Dove tiles/sec/chip, sliding-window SegGPT inference.
+
+Runs the flagship forward path (SegGPT ViT-L, 448×448 query tile + prompt,
+bf16 compute) batched on one chip, steady-state, and prints ONE JSON line:
+
+    {"metric": "tiles_per_sec_per_chip", "value": N, "unit": "tiles/s",
+     "vs_baseline": N}
+
+``vs_baseline`` compares against the measured reference CPU path (the
+reference publishes no numbers — BASELINE.md): HF SegGpt ViT-L eager fp32
+forward per 448×448 tile, stored in BASELINE_MEASURED.json.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beach_seg_tpu.models.seggpt.config import SegGPTConfig
+from beach_seg_tpu.models.seggpt.model import SegGPT
+from beach_seg_tpu.transforms import build_palette, decode_by_palette, normalize_palette
+
+BATCH = 8
+ITERS = 20
+
+
+def main() -> None:
+    cfg = SegGPTConfig()
+    model = SegGPT(cfg, dtype=jnp.bfloat16)
+    h, w = cfg.image_size[0] // 2, cfg.image_size[1]
+
+    zeros = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), zeros, zeros, zeros)["params"]
+
+    palette = jnp.asarray(build_palette(3))
+    palette_norm = normalize_palette(palette)
+
+    @jax.jit
+    def forward(params, query, prompt_img, prompt_mask):
+        out = model.apply({"params": params}, query, prompt_img, prompt_mask)
+        pred = out["pred_masks"]
+        return decode_by_palette(pred[:, h:], palette_norm)
+
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(rng.standard_normal((BATCH, h, w, 3)), np.float32)
+    query, prompt_img, prompt_mask = mk(), mk(), mk()
+
+    forward(params, query, prompt_img, prompt_mask).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        ids = forward(params, query, prompt_img, prompt_mask)
+    ids.block_until_ready()
+    dt = time.perf_counter() - t0
+    tiles_per_sec = BATCH * ITERS / dt
+
+    baseline_path = Path(__file__).parent / "BASELINE_MEASURED.json"
+    vs = None
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text()).get("reference_cpu_tiles_per_sec")
+        if base:
+            vs = tiles_per_sec / base
+    print(
+        json.dumps(
+            {
+                "metric": "tiles_per_sec_per_chip",
+                "value": round(tiles_per_sec, 3),
+                "unit": "tiles/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
