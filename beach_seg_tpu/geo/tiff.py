@@ -108,7 +108,10 @@ def read_info(path: Path | str) -> Raster:
         info = _BstInfo()
         lib.bst_info(h, ctypes.byref(info))
         return Raster(
-            data=np.empty((info.channels, 0, 0), _DTYPES[info.dtype]),
+            # zero-strided placeholder: carries shape/dtype without allocation
+            data=np.broadcast_to(
+                np.zeros((1,), _DTYPES[info.dtype]), (info.channels, info.height, info.width)
+            ),
             transform=Affine.from_tuple(list(info.transform)),
             crs=epsg_str(info.epsg),
             nodata=info.nodata if info.has_nodata else None,
