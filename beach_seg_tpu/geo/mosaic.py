@@ -1,0 +1,116 @@
+"""Per-date mosaics: same-CRS reprojection + validity-weighted mean
+(ref /root/reference/src/util/geo_util.py:374-422).
+
+The reference calls rasterio ``reproject`` per image (cubic for data, nearest
+for validity). All scene TIFFs share one CRS and pixel size (asserted at
+extent time, geo_util.py:183-190), so reprojection onto the global grid is an
+axis-aligned affine resample — expressed here as two dense sampling-matrix
+multiplies per image (the same matrix-resize formulation as ops.resize, GDAL
+cubic kernel a=-0.5). For the common integer-offset case the matrices
+degenerate to selection matrices and the result is an exact windowed copy.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from beach_seg_tpu.geo.affine import Affine
+from beach_seg_tpu.geo.display import tif_image
+from beach_seg_tpu.geo.tiff import read
+
+
+def _cubic(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    ax = np.abs(x)
+    ax2, ax3 = ax * ax, ax**3
+    return np.where(
+        ax <= 1.0,
+        (a + 2) * ax3 - (a + 3) * ax2 + 1,
+        np.where(ax < 2.0, a * ax3 - 5 * a * ax2 + 8 * a * ax - 4 * a, 0.0),
+    )
+
+
+def affine_sample_matrix(
+    in_size: int, out_size: int, offset: float, scale: float, method: str = "cubic"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense (out, in) sampling matrix for one axis plus an out-of-extent mask.
+
+    Output center i samples source coordinate ``offset + (i + 0.5)·scale - 0.5``.
+    Returns (matrix, valid) where ``valid[i]`` is False when the sample center
+    falls outside the source extent (dst filled there).
+    """
+    centers = offset + (np.arange(out_size) + 0.5) * scale - 0.5
+    valid = (centers > -0.5) & (centers < in_size - 0.5)
+    mat = np.zeros((out_size, in_size), np.float32)
+    if method == "nearest":
+        src = np.clip(np.floor(centers + 0.5).astype(np.int64), 0, in_size - 1)
+        mat[np.arange(out_size), src] = 1.0
+        return mat, valid
+    # cubic, 4 taps
+    lo = np.floor(centers).astype(np.int64) - 1
+    taps = lo[:, None] + np.arange(4)[None, :]
+    w = _cubic(centers[:, None] - taps)
+    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    taps_c = np.clip(taps, 0, in_size - 1)
+    np.add.at(mat, (np.repeat(np.arange(out_size), 4), taps_c.ravel()), w.ravel())
+    return mat, valid
+
+
+def reproject(
+    src: np.ndarray,
+    src_transform: Affine,
+    dst_shape: tuple[int, int],
+    dst_transform: Affine,
+    method: str = "cubic",
+    fill: float = 0.0,
+) -> np.ndarray:
+    """Same-CRS affine resample of (C, h, w) → (C, H, W) (rasterio.reproject
+    for the axis-aligned equal-CRS case, ref geo_util.py:390-408)."""
+    assert src_transform.b == 0 and src_transform.d == 0, "rotated source grid"
+    assert dst_transform.b == 0 and dst_transform.d == 0, "rotated destination grid"
+    c, h, w = src.shape
+    out_h, out_w = dst_shape
+    off_x = (dst_transform.c - src_transform.c) / src_transform.a
+    off_y = (dst_transform.f - src_transform.f) / src_transform.e
+    sx = dst_transform.a / src_transform.a
+    sy = dst_transform.e / src_transform.e
+    wx, valid_x = affine_sample_matrix(w, out_w, off_x, sx, method)
+    wy, valid_y = affine_sample_matrix(h, out_h, off_y, sy, method)
+    out = np.einsum("oh,chw,pw->cop", wy, src.astype(np.float32), wx, optimize=True)
+    invalid = ~(valid_y[:, None] & valid_x[None, :])
+    out[:, invalid] = fill
+    return out.astype(src.dtype if method == "nearest" else np.float32)
+
+
+def merge_tifs(
+    ref_imgs: list[Path],
+    out_shape: tuple[int, int],
+    out_transform: Affine,
+    crs: str | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-date mosaic → (display-RGB uint8 HWC, nodata bool) — exact
+    behavioral port of ref geo_util.py:374-422: cubic-reproject each image,
+    nearest-reproject its validity, validity-weighted mean, nodata where no
+    image covers, then display-RGB conversion via ``tif_image``."""
+    rasters = [read(p, dtype=np.float32) for p in ref_imgs]
+    n_ch = rasters[0].count
+    dst_data = np.empty((len(rasters), n_ch, *out_shape), np.float32)
+    dst_yesdata = np.empty((len(rasters), *out_shape), np.uint8)
+    for idx, r in enumerate(rasters):
+        assert r.count == n_ch
+        if crs is not None and r.crs is not None:
+            assert r.crs == crs, f"CRS mismatch: {ref_imgs[idx]}"
+        dst_data[idx] = reproject(r.data, r.transform, out_shape, out_transform, "cubic")
+        yes = r.valid_mask()[None].astype(np.uint8)
+        dst_yesdata[idx] = reproject(yes, r.transform, out_shape, out_transform, "nearest", fill=0)[0]
+
+    w = dst_yesdata.astype(np.float32)[:, None]
+    weighted_sum = (dst_data * w).sum(axis=0)
+    weights = w.sum(axis=0)[0]
+    mean = np.divide(
+        weighted_sum, weights, out=np.zeros_like(weighted_sum), where=weights != 0
+    )
+    nodata = ~np.any(dst_yesdata, axis=0)
+    img = tif_image(mean, nodata)
+    return img, nodata
