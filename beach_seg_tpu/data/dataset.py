@@ -1,0 +1,249 @@
+"""Dataset layer: scene → shoreline crops → fixed-shape device batches.
+
+TPU-native rebuild of /root/reference/src/data.py. The reference's
+``create_dataset`` orchestration (data.py:130-178) is ported behaviorally:
+discover masks/imagery, build the global grid, rasterize water/veg, derive
+sand, extract the shoreline, generate zero-overlap crops, merge per-date
+mosaics. The torch ``Dataset``/``DataLoader`` pair is replaced by a batch
+iterator that emits fixed-shape NHWC numpy batches (padded to the batch size
+with a validity mask) — crops are pre-resized host-side with the exact
+PIL-parity matrix resizes (BICUBIC image / NEAREST label+nodata,
+ref data.py:93-112), so the device step is pure compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from beach_seg_tpu.config import BeachSegConfig
+from beach_seg_tpu.geo.affine import Affine
+from beach_seg_tpu.geo.contours import extract_linestring
+from beach_seg_tpu.geo.extent import compute_raster_extent, get_masks, group_images_by_date, infer_date
+from beach_seg_tpu.geo.geometry import generate_square_crops_along_line
+from beach_seg_tpu.geo.masks import crop_tif, merged_no_data_mask
+from beach_seg_tpu.geo.mosaic import merge_tifs
+from beach_seg_tpu.geo.rasterize import rasterize
+from beach_seg_tpu.geo.shapefile import read_shapefile
+from beach_seg_tpu.ops.resize import resize_matrix
+
+logger = logging.getLogger(__name__)
+
+
+# ----------------------------------------------------------- host resize
+
+
+def _resize_crop(img: np.ndarray, out_size: int, method: str) -> np.ndarray:
+    """(H, W[, C]) resize via the PIL-parity sampling matrices (ops.resize)."""
+    in_size = img.shape[0]
+    if in_size == out_size:
+        return img
+    mat = resize_matrix(in_size, out_size, method)
+    out = np.einsum("oh,hw...->ow...", mat, np.einsum("pw,hw...->hp...", mat, img.astype(np.float32)))
+    return out
+
+
+def resize_image_bicubic(img: np.ndarray, out_size: int) -> np.ndarray:
+    """PIL BICUBIC parity (ref data.py:95 uses config.resample = BICUBIC)."""
+    return _resize_crop(img, out_size, "bicubic_pil")
+
+
+def resize_mask_nearest(mask: np.ndarray, out_size: int) -> np.ndarray:
+    """PIL NEAREST parity (ref data.py:99-112)."""
+    out = _resize_crop(mask.astype(np.float32), out_size, "nearest_pil")
+    return np.round(out).astype(mask.dtype)
+
+
+# ------------------------------------------------------------ geo setup
+
+
+@dataclasses.dataclass
+class Scene:
+    """One prepared scene: per-date mosaics + crops + (optional) labels."""
+
+    date_merged_imgs: dict[str, tuple[np.ndarray, np.ndarray]]  # date → (HWC uint8, nodata bool)
+    date_masks: dict[str, np.ndarray]  # date → (H, W) uint8 class ids
+    crops: list[tuple[int, int, int, int]]
+    out_shape: tuple[int, int]
+    out_transform: Affine
+    crs: str | None
+    mask_date: str
+
+
+def load_labels(
+    config: BeachSegConfig, out_shape: tuple[int, int], out_transform: Affine
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Rasterize water/veg shapefiles → (merged_mask, water, veg, nodata)
+    (ref data.py:143-153)."""
+    mask_dir = Path(config.data) / "Masks"
+    veg_paths = get_masks(mask_dir, "Mask_*.shp")
+    water_paths = get_masks(mask_dir, "WaterMask_*.shp")
+
+    def rasterize_all(paths) -> np.ndarray:
+        geoms = []
+        for p in paths:
+            gs, _ = read_shapefile(p)
+            geoms.extend(gs)
+        return rasterize(geoms, out_shape, out_transform) == 1
+
+    veg_mask = rasterize_all(veg_paths)
+    water_mask = rasterize_all(water_paths)
+    full_no_data = merged_no_data_mask(water_mask, veg_mask)
+    sand_mask = ~(full_no_data | water_mask | veg_mask)
+    merged = np.zeros(out_shape, np.uint8)
+    merged[water_mask] = config.classes.index("water")
+    merged[veg_mask] = config.classes.index("veg")
+    merged[sand_mask] = config.classes.index("sand")
+    assert config.classes.index("nodata") == 0
+    return merged, water_mask, veg_mask, full_no_data
+
+
+def create_scene(config: BeachSegConfig, train: bool, crop_overlap: int = 0) -> Scene:
+    """Full geo setup (behavioral port of ref create_dataset, data.py:130-178)."""
+    data_dir = Path(config.data)
+    mask_dir = data_dir / "Masks"
+    veg_paths = get_masks(mask_dir, "Mask_*.shp")
+    water_paths = get_masks(mask_dir, "WaterMask_*.shp")
+    mask_date = infer_date(veg_paths + water_paths)
+
+    img_paths = list((data_dir / "SatelliteImagery").glob("*/*.tif"))
+    groups = group_images_by_date(img_paths)
+    ref_imgs = groups.pop(mask_date, [])
+    assert len(ref_imgs), f"no reference imagery for mask date {mask_date}"
+
+    out_transform, out_shape, crs = compute_raster_extent(ref_imgs)
+    merged_mask, water_mask, _, full_no_data = load_labels(config, out_shape, out_transform)
+
+    water_line = extract_linestring(water_mask, full_no_data)
+    assert water_line is not None, "no shoreline found"
+    crops = generate_square_crops_along_line(water_line, config.crop_size, crop_overlap)
+
+    date_img_paths = {mask_date: ref_imgs} if train else groups
+    date_merged_imgs = {}
+    for date, paths in date_img_paths.items():
+        logger.info("merging %d image(s) for %s", len(paths), date)
+        date_merged_imgs[date] = merge_tifs(paths, out_shape, out_transform, crs)
+
+    return Scene(
+        date_merged_imgs=date_merged_imgs,
+        date_masks={mask_date: merged_mask},
+        crops=crops,
+        out_shape=out_shape,
+        out_transform=out_transform,
+        crs=crs,
+        mask_date=mask_date,
+    )
+
+
+# -------------------------------------------------------------- dataset
+
+
+def get_crop_arrays(
+    scene: Scene, date: str, crop_idx: int, config: BeachSegConfig
+) -> dict[str, np.ndarray]:
+    """One (date, crop) item as model-ready arrays (ref BeachSegDataset
+    .get_crop, data.py:81-124): boundless crop → BICUBIC/NEAREST resize to
+    inpt_size → image float [0,1] HWC, mask uint8 ids, nodata bool.
+
+    Reproduces the unlabeled-crop hack: when a crop has no labels, pixels with
+    data get class 1 ("sand") as a stand-in (data.py:114-116)."""
+    img, nodata = scene.date_merged_imgs[date]
+    label = scene.date_masks.get(date)
+    crop = scene.crops[crop_idx]
+    crop_img, crop_nodata, crop_label = crop_tif(crop, img, nodata, label, config.crop_size)
+    if crop_label is None:
+        crop_label = np.zeros(crop_img.shape[:2], np.uint8)
+
+    size = config.inpt_size
+    out_img = np.clip(resize_image_bicubic(crop_img, size), 0, 255).astype(np.float32) / 255.0
+    out_label = resize_mask_nearest(crop_label.astype(np.uint8), size)
+    out_nodata = resize_mask_nearest(crop_nodata.astype(np.uint8), size).astype(bool)
+
+    if not np.all(out_nodata) and np.all(out_label == 0):
+        out_label[~out_nodata] = 1
+
+    return {
+        "crop_idx": np.int32(crop_idx),
+        "date": date,
+        "image": out_img,  # (S, S, 3) float32 [0,1]
+        "mask": out_label.astype(np.int32),
+        "nodata": out_nodata,
+    }
+
+
+@dataclasses.dataclass
+class BeachSegDataset:
+    """Index = (date × crop), with per-item nodata stats (ref data.py:37-127)."""
+
+    scene: Scene
+    config: BeachSegConfig
+    items: list[dict] = dataclasses.field(default_factory=list)
+
+    def __post_init__(self):
+        cs = self.config.crop_size
+        for date in self.scene.date_merged_imgs:
+            full_mask = self.scene.date_masks.get(date)
+            img, nodata = self.scene.date_merged_imgs[date]
+            for crop_idx in range(len(self.scene.crops)):
+                if full_mask is not None:
+                    _, _, mask = crop_tif(self.scene.crops[crop_idx], img, nodata, full_mask, cs)
+                    count_nodata = int((mask == 0).sum())
+                else:
+                    count_nodata = 0
+                self.items.append(
+                    {"date": date, "crop_idx": crop_idx, "pct_nodata": count_nodata / cs / cs}
+                )
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        it = self.items[idx]
+        return get_crop_arrays(self.scene, it["date"], it["crop_idx"], self.config)
+
+
+def materialize_prompts(scene: Scene, config: BeachSegConfig) -> dict[str, np.ndarray]:
+    """All reference-date crops stacked as prompt tensors (the reference's
+    ``create_prompts=True`` path, data.py:74-76 / model.py:115-130):
+    {pixels (P,S,S,3), masks (P,S,S), nodata (P,S,S), crop_idx (P,)}."""
+    date = scene.mask_date
+    items = [get_crop_arrays(scene, date, i, config) for i in range(len(scene.crops))]
+    return {
+        "pixels": np.stack([it["image"] for it in items]),
+        "masks": np.stack([it["mask"] for it in items]),
+        "nodata": np.stack([it["nodata"] for it in items]),
+        "crop_idx": np.arange(len(items), dtype=np.int32),
+    }
+
+
+def iterate_batches(
+    dataset: BeachSegDataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_remainder: bool = False,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Fixed-shape NHWC batches; ragged tails are padded (repeating the last
+    item) with ``valid`` marking real rows — jit sees one shape only."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for start in range(0, len(order), batch_size):
+        idx = order[start : start + batch_size]
+        if len(idx) < batch_size:
+            if drop_remainder:
+                return
+            idx = np.concatenate([idx, np.repeat(idx[-1:], batch_size - len(idx))])
+        items = [dataset[i] for i in idx]
+        yield {
+            "image": np.stack([it["image"] for it in items]),
+            "mask": np.stack([it["mask"] for it in items]),
+            "nodata": np.stack([it["nodata"] for it in items]),
+            "crop_idx": np.asarray([it["crop_idx"] for it in items], np.int32),
+            "date": [it["date"] for it in items],
+            "valid": np.arange(batch_size) < min(batch_size, len(order) - start),
+        }
