@@ -34,9 +34,10 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}×{model} != {n} devices")
-    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+    if data * model > n:
+        raise ValueError(f"mesh {data}×{model} needs more than the {n} available devices")
+    # explicit sizes may use a prefix of the devices (debug/smoke meshes)
+    return Mesh(devices.reshape(-1)[: data * model].reshape(data, model), (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
