@@ -1,0 +1,144 @@
+"""Prompt-tuned sliding-window inference (ref /root/reference/src/predict.py).
+
+Pipeline: load the train run's conf + tuned prompt pixels (or rebuild untuned
+prompts from the reference date), build the predict scene (all non-reference
+dates), then fan the (date × crop) tiles through the jitted ``predict_step``
+in device-sized batches — the reference runs B=1 on CPU; here the crop axis is
+the batch axis and shards over the mesh's data dimension. Votes accumulate
+host-side into per-date mosaics (overlay/mask/GeoTIFF outputs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beach_seg_tpu.config import BeachSegConfig, PredictionConfig
+from beach_seg_tpu.data.dataset import (
+    BeachSegDataset,
+    create_scene,
+    iterate_batches,
+    materialize_prompts,
+)
+from beach_seg_tpu.infer.accumulator import VoteAccumulator
+from beach_seg_tpu.models.seggpt.load import load_model_params
+from beach_seg_tpu.ops.resize import resize_matrix
+from beach_seg_tpu.parallel.mesh import batch_sharding, make_mesh, param_sharding, replicated
+from beach_seg_tpu.train.checkpoint import load_prompt_batch
+from beach_seg_tpu.train.loop import model_for_config
+from beach_seg_tpu.train.prompt_tuner import PromptTuner
+from beach_seg_tpu.utils.confix import merge_yaml_into
+from beach_seg_tpu.utils.logging import allocate_run_dir, setup_logger
+
+logger = logging.getLogger(__name__)
+
+
+def _resize_batch(x: np.ndarray, out_size: int, method: str) -> np.ndarray:
+    """(B, S, S[, C]) → (B, out, out[, C]) via sampling matrices (cv2 parity:
+    INTER_CUBIC for images / INTER_NEAREST for masks, ref predict.py:258-259)."""
+    m = resize_matrix(x.shape[1], out_size, method)
+    out = np.einsum("oh,bhw...->bow...", m, x.astype(np.float32), optimize=True)
+    return np.einsum("pw,bhw...->bhp...", m, out, optimize=True)
+
+
+def resolve_config(pred_conf: PredictionConfig) -> BeachSegConfig:
+    """Overlay the train run's conf.yaml (ref predict.py:174-187)."""
+    conf = BeachSegConfig()
+    if pred_conf.train_run_dir is not None:
+        conf = merge_yaml_into(conf, Path(pred_conf.train_run_dir) / "conf.yaml")
+    updates = {
+        "data": pred_conf.data,
+        "batch_size": pred_conf.batch_size,
+        "debug": pred_conf.debug,
+        "workers": pred_conf.workers,
+        "mesh_data": pred_conf.mesh_data,
+        "mesh_model": pred_conf.mesh_model,
+        "compute_dtype": pred_conf.compute_dtype,
+    }
+    # keep the train run's checkpoint unless explicitly overridden on the CLI
+    if pred_conf.checkpoint != BeachSegConfig().checkpoint:
+        updates["checkpoint"] = pred_conf.checkpoint
+    if pred_conf.model_training_root is not None:
+        updates["model_training_root"] = pred_conf.model_training_root
+    return dataclasses.replace(conf, **updates)
+
+
+def run_predict(pred_conf: PredictionConfig) -> Path:
+    conf = resolve_config(pred_conf)
+    root = Path(pred_conf.prediction_root or conf.model_training_root)
+    predict_dir = allocate_run_dir(root, conf.project, "predict", jax.process_index())
+    setup_logger(predict_dir)
+    logger.info("saving results to %s", predict_dir)
+
+    # scenes: train scene for crops/prompts/extent, predict scene for dates
+    train_scene = create_scene(conf, train=True)
+    predict_scene = create_scene(conf, train=False)
+    num_prompts = len(train_scene.crops)
+
+    if pred_conf.train_run_dir is not None:
+        pb = load_prompt_batch(Path(pred_conf.train_run_dir) / "prompt_batch_tuned.npz")
+        logger.info("loaded tuned prompts from %s", pred_conf.train_run_dir)
+    else:
+        prompts = materialize_prompts(train_scene, conf)
+        pb = {
+            "image": prompts["pixels"],
+            "mask": prompts["masks"],
+            "nodata": prompts["nodata"],
+        }
+        logger.info("using untuned reference-date prompts")
+
+    model, model_cfg = model_for_config(conf)
+    params = load_model_params(conf.checkpoint, model, model_cfg)
+    mesh = make_mesh(conf.mesh_data, conf.mesh_model)
+    tuner = PromptTuner(model=model, conf=conf, num_prompts=num_prompts, steps_per_epoch=1)
+
+    dataset = BeachSegDataset(predict_scene, conf)
+    bs = batch_sharding(mesh)
+
+    with jax.sharding.set_mesh(mesh):
+        params = jax.device_put(params, param_sharding(mesh, params))
+        pixels = jax.device_put(jnp.asarray(pb["image"], jnp.float32), replicated(mesh))
+        pmasks = jax.device_put(jnp.asarray(pb["mask"], jnp.int32), replicated(mesh))
+        pnodata = jax.device_put(jnp.asarray(pb["nodata"]), replicated(mesh))
+
+        with VoteAccumulator(
+            predict_scene.out_shape, predict_dir, predict_scene.out_transform,
+            predict_scene.crs, conf.classes,
+        ) as acc:
+            for batch in iterate_batches(dataset, conf.batch_size):
+                if not batch["valid"].any():
+                    continue
+                dev_batch = {
+                    k: jax.device_put(jnp.asarray(v), bs)
+                    for k, v in batch.items()
+                    if k not in ("date", "valid")
+                }
+                pred = np.asarray(
+                    tuner.predict_step(pixels, params, pmasks, pnodata, dev_batch)
+                )
+                # back to crop_size: image INTER_CUBIC, mask INTER_NEAREST
+                img_small = np.clip(
+                    _resize_batch(batch["image"], conf.crop_size, "bicubic_cv2") * 255, 0, 255
+                ).astype(np.uint8)
+                pred_small = np.round(
+                    _resize_batch(pred.astype(np.float32), conf.crop_size, "nearest_cv2")
+                ).astype(np.int32)
+                one_hot = np.eye(len(conf.classes), dtype=np.int32)[pred_small]
+                for i in range(len(pred)):
+                    if not batch["valid"][i]:
+                        continue
+                    if batch["nodata"][i].all():  # ref predict.py:235
+                        continue
+                    acc.update(
+                        batch["date"][i],
+                        predict_scene.crops[int(batch["crop_idx"][i])],
+                        one_hot[i],
+                        img_crop=img_small[i],
+                    )
+    logger.info("done")
+    return predict_dir

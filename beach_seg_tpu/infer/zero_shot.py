@@ -1,0 +1,179 @@
+"""Zero-shot ensemble inference (ref /root/reference/src/predict_no_prompt.py).
+
+The pretrained SegGPT is used with NO tuning: every shoreline crop of the
+reference date becomes a prompt candidate; crops are ranked by labeled-class
+coverage; each query crop runs against an ensemble of ``n_prompts`` prompts
+with ``feature_ensemble=True`` and the painted outputs are averaged before the
+HF-parity post-process.
+
+TPU-native batching: the reference runs one query × n_prompts at a time on
+CPU. Here queries are batched on a leading axis and the per-query prompt
+ensemble is the model's batch axis under ``jax.vmap`` — one jitted program
+computes Q ensembles at once, and the query axis shards over the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beach_seg_tpu.config import PredConfig
+from beach_seg_tpu.data.dataset import create_scene
+from beach_seg_tpu.geo.masks import crop_tif
+from beach_seg_tpu.geo.mosaic import merge_tifs
+from beach_seg_tpu.infer.accumulator import VoteAccumulator
+from beach_seg_tpu.infer.processor import post_process_semantic, preprocess_image, preprocess_mask
+from beach_seg_tpu.models.seggpt.config import SegGPTConfig
+from beach_seg_tpu.models.seggpt.load import load_model_params
+from beach_seg_tpu.models.seggpt.model import SegGPT
+from beach_seg_tpu.geo.display import overlay_prediction
+from beach_seg_tpu.geo.extent import group_images_by_date
+from beach_seg_tpu.parallel.mesh import make_mesh, param_sharding, replicated
+from beach_seg_tpu.utils.logging import allocate_run_dir, setup_logger
+from PIL import Image
+
+logger = logging.getLogger(__name__)
+
+
+def zero_shot_model(conf: PredConfig) -> tuple[SegGPT, SegGPTConfig]:
+    inpt = 448  # the HF processor always resizes to the pretrain canvas
+    if conf.debug:
+        cfg = SegGPTConfig(
+            hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+            image_size=(2 * inpt, inpt), pretrain_image_size=224,
+            decoder_hidden_size=16, merge_index=1, intermediate_hidden_state_indices=(1, 3),
+        )
+    else:
+        cfg = SegGPTConfig(image_size=(2 * inpt, inpt))
+    dtype = jnp.bfloat16 if conf.compute_dtype == "bfloat16" else jnp.float32
+    return SegGPT(cfg, dtype=dtype), cfg
+
+
+def run_zero_shot(conf: PredConfig) -> Path:
+    root = Path(conf.prediction_root or conf.model_training_root)
+    predict_dir = allocate_run_dir(root, conf.project, "predict_no_prompt", jax.process_index())
+    setup_logger(predict_dir)
+    logger.info("saving results to %s", predict_dir)
+
+    crop_size = conf.zero_shot_crop_size
+    scene_conf = dataclasses.replace(conf, crop_size=crop_size)
+    scene = create_scene(scene_conf, train=True)  # reference date only
+    prompt_img, prompt_nodata = scene.date_merged_imgs[scene.mask_date]
+    prompt_img = prompt_img.copy()
+    prompt_img[prompt_nodata, 1] = 255  # green-flood nodata (ref :94-95)
+    prompt_label = scene.date_masks[scene.mask_date]
+    crops = scene.crops
+    num_classes = len(conf.classes)
+    assert len(crops) >= conf.n_prompts, (
+        f"n_prompts({conf.n_prompts}) must be <= number of crops({len(crops)})"
+    )
+
+    # prompt viz (ref :218-222)
+    overlay_prediction(prompt_img, prompt_label, conf.classes).save(predict_dir / "prompt_w_label.png")
+    Image.fromarray(prompt_img).save(predict_dir / "prompt.png")
+
+    # preprocess all prompt candidates once
+    size = 448
+    prompt_pixels, prompt_masks_rgb, crop_labels = [], [], []
+    for crop in crops:
+        ci, _, cl = crop_tif(crop, prompt_img, prompt_nodata, prompt_label, crop_size)
+        prompt_pixels.append(preprocess_image(ci, size))
+        prompt_masks_rgb.append(preprocess_mask(cl, num_classes - 1, size))
+        crop_labels.append(cl)
+    prompt_pixels = np.stack(prompt_pixels)
+    prompt_masks_rgb = np.stack(prompt_masks_rgb)
+    # rank by labeled coverage: fewest non-class-1 pixels first (ref :250)
+    best_crop_idxes = np.argsort([(cl != conf.classes.index(conf.classes[1])).sum() for cl in crop_labels])
+
+    model, model_cfg = zero_shot_model(conf)
+    params = load_model_params(conf.checkpoint, model, model_cfg)
+    mesh = make_mesh(conf.mesh_data, conf.mesh_model)
+
+    def ensemble_forward(params, query, p_pixels, p_masks):
+        """One query (S,S,3) vs (P,S,S,3) prompts → mean painted canvas."""
+        q = jnp.broadcast_to(query[None], p_pixels.shape)
+        out = model.apply(
+            {"params": params}, q, p_pixels, p_masks,
+            embedding_type="instance", feature_ensemble=True,
+        )
+        return out["pred_masks"].mean(axis=0)  # (2H, W, 3)
+
+    batched = jax.jit(jax.vmap(ensemble_forward, in_axes=(None, 0, 0, 0)))
+
+    with jax.sharding.set_mesh(mesh):
+        params = jax.device_put(params, param_sharding(mesh, params))
+        pp = jax.device_put(jnp.asarray(prompt_pixels), replicated(mesh))
+        pm = jax.device_put(jnp.asarray(prompt_masks_rgb), replicated(mesh))
+
+        to_run = list(group_images_by_date(
+            list((Path(conf.data) / "SatelliteImagery").glob("*/*.tif"))
+        ).items())
+        to_run = [(d, p) for d, p in to_run if d != scene.mask_date]
+        if conf.debug:
+            to_run = to_run[:2]
+
+        q_batch = max(1, conf.batch_size)
+        for date, img_paths in to_run:
+            merged_img, merged_nodata = merge_tifs(img_paths, scene.out_shape, scene.out_transform, scene.crs)
+            merged_img = merged_img.copy()
+            merged_img[merged_nodata, 1] = 255
+            with VoteAccumulator(
+                scene.out_shape, predict_dir, scene.out_transform, scene.crs,
+                conf.classes, export_lines=True,
+            ) as acc:
+                pending: list[tuple[int, np.ndarray, np.ndarray]] = []
+
+                def flush():
+                    if not pending:
+                        return
+                    n = len(pending)
+                    queries = np.stack([p[1] for p in pending])
+                    sel = np.stack([p[2] for p in pending])  # (n, P)
+                    # pad to the batch size so jit sees one shape
+                    if n < q_batch:
+                        queries = np.concatenate([queries, np.repeat(queries[-1:], q_batch - n, 0)])
+                        sel = np.concatenate([sel, np.repeat(sel[-1:], q_batch - n, 0)])
+                    sel_j = jnp.asarray(sel)
+                    canvases = batched(
+                        params,
+                        jnp.asarray(queries),
+                        jnp.take(pp, sel_j, axis=0),
+                        jnp.take(pm, sel_j, axis=0),
+                    )
+                    preds = post_process_semantic(
+                        np.asarray(canvases[:n], np.float32), (crop_size, crop_size), num_classes - 1
+                    )
+                    for (crop_idx, _, _), pred in zip(pending, preds):
+                        _, crop_nodata, _ = crop_tif(
+                            crops[crop_idx], merged_img, merged_nodata, None, crop_size
+                        )
+                        pred = pred.copy()
+                        pred[crop_nodata.astype(bool)] = 0  # ref :303
+                        one_hot = np.eye(num_classes, dtype=np.int32)[pred]
+                        acc.update(
+                            date, crops[crop_idx], one_hot,
+                            date_img=merged_img, date_nodata=merged_nodata,
+                        )
+                    pending.clear()
+
+                for crop_idx, crop in enumerate(crops):
+                    crop_img, crop_nodata, _ = crop_tif(crop, merged_img, merged_nodata, None, crop_size)
+                    if np.all(crop_nodata):
+                        continue
+                    if crop_idx in best_crop_idxes[: conf.n_prompts]:
+                        crop_idxes = best_crop_idxes[: conf.n_prompts].tolist()
+                    else:
+                        crop_idxes = [crop_idx] + best_crop_idxes[: conf.n_prompts - 1].tolist()
+                    pending.append(
+                        (crop_idx, preprocess_image(crop_img, size), np.asarray(crop_idxes, np.int32))
+                    )
+                    if len(pending) == q_batch:
+                        flush()
+                flush()
+    logger.info("done")
+    return predict_dir

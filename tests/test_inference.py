@@ -1,0 +1,134 @@
+"""Inference engines end-to-end on the synthetic scene (SURVEY.md §4.3):
+vote accumulator semantics, tuned-prompt predict, zero-shot ensemble."""
+
+import numpy as np
+import pytest
+
+from beach_seg_tpu.config import BeachSegConfig, PredConfig, PredictionConfig
+from beach_seg_tpu.geo.affine import Affine
+from beach_seg_tpu.geo.tiff import read
+from beach_seg_tpu.infer.accumulator import VoteAccumulator
+from beach_seg_tpu.infer.predict import run_predict
+from beach_seg_tpu.infer.processor import post_process_semantic, preprocess_image, preprocess_mask
+from beach_seg_tpu.infer.zero_shot import run_zero_shot
+from beach_seg_tpu.transforms import IMAGENET_MEAN, IMAGENET_STD, build_palette
+from tests.synthetic_scene import MASK_DATE, OTHER_DATES, build_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    return build_scene(tmp_path_factory.mktemp("scene"))
+
+
+# ------------------------------------------------------------- accumulator
+
+
+def test_vote_accumulator(tmp_path):
+    t = Affine.from_origin(0.0, 30.0, 3.0, 3.0)
+    classes = ("nodata", "sand", "water", "veg")
+    with VoteAccumulator((10, 10), tmp_path, t, "EPSG:32611", classes) as acc:
+        one_hot = np.zeros((6, 6, 4), np.int32)
+        one_hot[..., 1] = 1  # all sand votes
+        acc.update("20240101", (0, 0, 6, 6), one_hot)
+        water = np.zeros((6, 6, 4), np.int32)
+        water[..., 2] = 1
+        acc.update("20240101", (4, 4, 10, 10), water)  # overlaps 2x2 corner
+        acc.update("20240101", (4, 4, 10, 10), water)  # second vote wins corner
+        # new date triggers flush
+        acc.update("20240202", (0, 0, 6, 6), one_hot)
+    for date in ("20240101", "20240202"):
+        assert (tmp_path / "masks" / f"{date}.png").exists()
+        assert (tmp_path / "images" / f"{date}.png").exists()
+        r = read(tmp_path / "tif" / f"{date}.tif")
+        assert r.crs == "EPSG:32611"
+    pred = read(tmp_path / "tif" / "20240101.tif").data[0]
+    assert pred[0, 0] == 1  # sand
+    assert pred[5, 5] == 2  # water outvotes sand 2:1
+    assert pred[9, 9] == 2
+    assert pred[9, 0] == 0  # nothing voted
+
+
+def test_vote_accumulator_clips_out_of_bounds(tmp_path):
+    t = Affine.identity()
+    with VoteAccumulator((5, 5), tmp_path, t, None, ("nodata", "sand", "water", "veg")) as acc:
+        oh = np.zeros((4, 4, 4), np.int32)
+        oh[..., 3] = 1
+        acc.update("d", (-2, -2, 2, 2), oh)
+    pred = read(tmp_path / "tif" / "d.tif").data[0]
+    assert pred[0, 0] == 3 and pred[1, 1] == 3 and pred[2, 2] == 0
+
+
+# ---------------------------------------------------------------- processor
+
+
+def test_processor_round_trip():
+    rng = np.random.default_rng(0)
+    mask = rng.integers(0, 4, (56, 56))
+    rgb = preprocess_mask(mask, 3, size=112)
+    # denormalize → palette distance → back to ids at the original size
+    canvas = np.concatenate([np.zeros_like(rgb), rgb], axis=0)[None]  # fake 2H canvas
+    ids = post_process_semantic(canvas, (56, 56), 3)[0]
+    assert np.array_equal(ids, mask)
+
+
+def test_preprocess_image_normalized():
+    img = np.full((64, 64, 3), 128, np.uint8)
+    out = preprocess_image(img, 112)
+    expect = (128 / 255.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    assert out.shape == (112, 112, 3)
+    assert np.allclose(out[50, 50], expect, atol=1e-5)
+
+
+# ------------------------------------------------------------ predict (tuned)
+
+
+def test_run_predict_end_to_end(scene_dir, tmp_path_factory):
+    out_root = tmp_path_factory.mktemp("pred")
+    conf = PredictionConfig(
+        data=scene_dir,
+        model_training_root=out_root,
+        crop_size=32,
+        inpt_size=64,
+        batch_size=2,
+        debug=True,
+        checkpoint="random",
+        mesh_data=2,
+        mesh_model=1,
+    )
+    out_dir = run_predict(conf)
+    for date in OTHER_DATES:
+        assert (out_dir / "masks" / f"{date}.png").exists()
+        r = read(out_dir / "tif" / f"{date}.tif")
+        assert r.data.shape[1:] == (96, 128)
+        assert r.crs == "EPSG:32611"
+        assert set(np.unique(r.data)) <= {0, 1, 2, 3}
+
+
+# --------------------------------------------------------------- zero-shot
+
+
+def test_run_zero_shot_end_to_end(scene_dir, tmp_path_factory):
+    out_root = tmp_path_factory.mktemp("zs")
+    conf = PredConfig(
+        data=scene_dir,
+        model_training_root=out_root,
+        prediction_root=out_root,
+        zero_shot_crop_size=48,
+        n_prompts=2,
+        batch_size=2,
+        debug=True,
+        checkpoint="random",
+        mesh_data=1,
+        mesh_model=1,
+    )
+    out_dir = run_zero_shot(conf)
+    assert (out_dir / "prompt_w_label.png").exists()
+    assert (out_dir / "prompt.png").exists()
+    # debug mode limits to 2 dates; synthetic scene has exactly 2 non-ref dates
+    for date in OTHER_DATES:
+        assert (out_dir / "masks" / f"{date}.png").exists()
+        r = read(out_dir / "tif" / f"{date}.tif")
+        assert set(np.unique(r.data)) <= {0, 1, 2, 3}
+    # shoreline shapefiles exported when lines exist (random weights may or may
+    # not produce them; just check the dir exists)
+    assert (out_dir / "lines").exists()
