@@ -116,11 +116,16 @@ class Embeddings(nn.Module):
 
 
 class Attention(nn.Module):
-    """Global MHA with decomposed relative position bias (HF :210-349)."""
+    """Global MHA with decomposed relative position bias (HF :210-349).
+
+    ``impl``: "reference" = pure-XLA oracle; "fused" = Pallas kernel that keeps
+    the (S, S) scores in VMEM (ops/pallas_attn.py). "auto" picks fused whenever
+    rel-pos is enabled (the kernel's layout requires the decomposed terms)."""
 
     config: SegGPTConfig
     dtype: Any = jnp.float32
     precision: Any = None
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -146,7 +151,22 @@ class Attention(nn.Module):
                 q, rel_pos_h.astype(self.dtype), rel_pos_w.astype(self.dtype), (gh, gw), (gh, gw), self.precision
             )
 
-        out = attention_reference(q, k, v, rel_h, rel_w, hd**-0.5, self.precision)
+        use_fused = self.impl == "fused" or (self.impl == "auto" and rel_h is not None)
+        if use_fused and rel_h is not None:
+            from beach_seg_tpu.ops.pallas_attn import fused_attention
+
+            out = fused_attention(
+                q,
+                k,
+                v,
+                rel_h.reshape(b * nh, s, gh),
+                rel_w.reshape(b * nh, s, gw),
+                hd**-0.5,
+                gh,
+                gw,
+            )
+        else:
+            out = attention_reference(q, k, v, rel_h, rel_w, hd**-0.5, self.precision)
         out = out.reshape(b, nh, gh, gw, hd).transpose(0, 2, 3, 1, 4).reshape(b, gh, gw, c)
 
         proj_kernel = self.param("proj_kernel", _trunc_normal(cfg.initializer_range), (c, c), jnp.float32)
@@ -208,6 +228,7 @@ class Block(nn.Module):
     drop_path_rate: float
     dtype: Any = jnp.float32
     precision: Any = None
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -218,7 +239,7 @@ class Block(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         cfg = self.config
-        attn_out = Attention(cfg, self.dtype, self.precision, name="attention")(
+        attn_out = Attention(cfg, self.dtype, self.precision, self.attn_impl, name="attention")(
             LayerNorm(cfg.hidden_size, cfg.layer_norm_eps, name="layernorm_before")(x)
         )
 
@@ -255,6 +276,7 @@ class Encoder(nn.Module):
     config: SegGPTConfig
     dtype: Any = jnp.float32
     precision: Any = None
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -270,7 +292,7 @@ class Encoder(nn.Module):
         intermediates = []
         for i in range(cfg.num_hidden_layers):
             ensemble_cond = 2 if cfg.merge_index > i else 1
-            x = Block(cfg, float(dpr[i]), self.dtype, self.precision, name=f"layers_{i}")(
+            x = Block(cfg, float(dpr[i]), self.dtype, self.precision, self.attn_impl, name=f"layers_{i}")(
                 x, ensemble_cond, feature_ensemble, deterministic
             )
             if i == cfg.merge_index:
@@ -356,6 +378,7 @@ class SegGPT(nn.Module):
     config: SegGPTConfig
     dtype: Any = jnp.float32
     precision: Any = None
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -378,7 +401,7 @@ class SegGPT(nn.Module):
         x = Embeddings(cfg, self.dtype, name="embeddings")(
             pixel_canvas.astype(self.dtype), mask_canvas.astype(self.dtype), bool_masked_pos, embedding_type
         )
-        intermediates = Encoder(cfg, self.dtype, self.precision, name="encoder")(
+        intermediates = Encoder(cfg, self.dtype, self.precision, self.attn_impl, name="encoder")(
             x, feature_ensemble, deterministic
         )
         feats = jnp.concatenate(intermediates, axis=-1)

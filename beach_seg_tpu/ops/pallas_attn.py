@@ -1,0 +1,140 @@
+"""Fused attention-with-rel-pos Pallas kernel — the framework's hot op.
+
+SegGPT runs 24 layers of GLOBAL attention over the 56×28=1568-token canvas
+with MViTv2 decomposed relative-position bias (HF modeling_seggpt.py:210-351).
+The XLA formulation materializes the (B·heads, S, S) score/probability tensors
+in HBM between the bias add, the fp32 softmax and the PV matmul — at S=1568
+that's ~10 MB per (batch, head) slice round-tripped several times per layer,
+and the op is HBM-bound.
+
+This kernel streams each q-block through VMEM and never writes scores to HBM:
+
+    scores = (q·Kᵀ)·scale + rel_h[q, kh] + rel_w[q, kw]   (fp32, in VMEM)
+    out    = softmax(scores) · V
+
+The decomposed bias terms rel_h (BH, S, Hk) and rel_w (BH, S, Wk) are tiny
+(~100 KB) and are computed outside with einsums (MXU work). Inside the kernel
+the (BQ, S) score block is reshaped to (BQ, Hk, Wk) for the broadcast add —
+a VMEM relayout, no HBM traffic.
+
+Training uses ``jax.custom_vjp``: forward = this kernel, backward = XLA
+recompute (attention is recomputed from the residuals; prompt-tuning backprop
+touches attention only through activations, and the recompute keeps peak HBM
+flat — the same trade ``jax.checkpoint`` makes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from beach_seg_tpu.ops.attention import attention_reference
+
+
+def _pick_block(s: int, target: int = 512) -> int:
+    """Largest divisor of ``s`` that is ≤ target and a multiple of 8 (sublane),
+    falling back to ``s`` itself."""
+    best = s
+    for d in range(1, s + 1):
+        if s % d:
+            continue
+        blk = s // d
+        if blk <= target and blk % 8 == 0:
+            return blk
+    return best
+
+
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, out_ref, *, scale: float, hk: int, wk: int):
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (S, D)
+    v = v_ref[0]  # (S, D)
+    bq = q.shape[0]
+    s = k.shape[0]
+    scores = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    # decomposed rel-pos bias: scores[q, kh·Wk + kw] += rh[q, kh] + rw[q, kw]
+    rh = rh_ref[0].astype(jnp.float32)  # (BQ, Hk)
+    rw = rw_ref[0].astype(jnp.float32)  # (BQ, Wk)
+    scores = scores.reshape(bq, hk, wk) + rh[:, :, None] + rw[:, None, :]
+    scores = scores.reshape(bq, s)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _pallas_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_h: jnp.ndarray,
+    rel_w: jnp.ndarray,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q/k/v: (BH, S, D); rel_h: (BH, S, Hk); rel_w: (BH, S, Wk)."""
+    bh, s, d = q.shape
+    hk = rel_h.shape[-1]
+    wk = rel_w.shape[-1]
+    assert hk * wk == s, (hk, wk, s)
+    bq = _pick_block(s)
+    grid = (bh, s // bq)
+    kernel = functools.partial(_kernel, scale=scale, hk=hk, wk=wk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, wk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * s * s * d * 2,
+            bytes_accessed=bh * s * d * 4 * 4,
+            transcendentals=bh * s * s,
+        ),
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w)
+
+
+def _reference_flat(q, k, v, rel_h, rel_w, scale, hk, wk):
+    """attention_reference with the kernel's flattened rel-term layout."""
+    bh, s, _ = q.shape
+    hq = hk
+    wq = wk
+    rh = rel_h.reshape(bh, hq, wq, hk)
+    rw = rel_w.reshape(bh, hq, wq, wk)
+    return attention_reference(q, k, v, rh, rw, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_attention(q, k, v, rel_h, rel_w, scale: float, hk: int, wk: int):
+    """Fused forward; XLA-recompute backward. Shapes as _pallas_attention."""
+    interpret = jax.default_backend() != "tpu"
+    return _pallas_attention(q, k, v, rel_h, rel_w, scale, interpret=interpret)
+
+
+def _fwd(q, k, v, rel_h, rel_w, scale, hk, wk):
+    return fused_attention(q, k, v, rel_h, rel_w, scale, hk, wk), (q, k, v, rel_h, rel_w)
+
+
+def _bwd(scale, hk, wk, res, g):
+    q, k, v, rel_h, rel_w = res
+    _, vjp = jax.vjp(lambda *a: _reference_flat(*a, scale, hk, wk), q, k, v, rel_h, rel_w)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)
