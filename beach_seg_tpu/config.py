@@ -96,6 +96,9 @@ class BeachSegConfig:
     # silently drops it from the structured config (src/config.py:78). We keep
     # it as a real field — divergence is intentional and documented.
     ema_alpha: float = 0.99
+    # legacy trainer's prompt dropout: probability of zeroing a sample's
+    # prompt pixels for a step (ref src/old/train.py:141-143); 0 = off.
+    prompt_dropout: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -105,6 +108,21 @@ class PredictionConfig(BeachSegConfig):
     train_run_dir: Path | None = None
     prediction_root: Path | None = None
     overlap: int = 0
+
+
+@dataclass(frozen=True)
+class LegacyConfig(BeachSegConfig):
+    """Legacy ensemble inference overlay (ref: src/old/beach_seg.py:89-95).
+
+    50%-overlap crops, semantic embedding, buffer-trimmed ascending merge,
+    per-class 1-bit GeoTIFF + shapefile outputs."""
+
+    prediction_root: Path | None = None
+    prompt_ckpt: Path | None = None
+    buffer_factor: float = 0.125
+    n_prompts: int = 2
+    # legacy default crop size (ref old/beach_seg.py:90)
+    crop_size: int = 224
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,161 @@
+"""Legacy ensemble inference mode (ref /root/reference/src/old/beach_seg.py).
+
+The reference's original pipeline, preserved as a first-class inference mode
+(the in-repo script is stale — wrong call signature + stray ``break``,
+SURVEY.md quirk #8 — so this implements its *intended* behavior):
+
+  - 50 %-overlap shoreline crops (``overlap = crop_size // 2``,
+    ref old/beach_seg.py:152);
+  - every query runs against the full tuned-prompt ensemble with
+    ``embedding_type="semantic"`` and ``feature_ensemble=True``, duplicated
+    queries, first painted canvas taken (ref :53-70);
+  - predictions are buffer-trimmed (default ``buffer = crop_size // 8``) and
+    merged with ascending max instead of voting (ref :79-83);
+  - outputs per class: 1-bit GeoTIFF + shoreline shapefile
+    (``WetDryLine`` = water, ``VegLine`` = veg, ref :199-222).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beach_seg_tpu.config import LegacyConfig
+from beach_seg_tpu.data.dataset import create_scene
+from beach_seg_tpu.data.prefetch import MosaicPrefetcher
+from beach_seg_tpu.geo.contours import extract_linestring
+from beach_seg_tpu.geo.masks import crop_tif, safe_assign_crop
+from beach_seg_tpu.geo.mosaic import merge_tifs
+from beach_seg_tpu.infer.accumulator import transform_line
+from beach_seg_tpu.infer.processor import post_process_semantic, preprocess_image, preprocess_mask
+from beach_seg_tpu.infer.zero_shot import zero_shot_model
+from beach_seg_tpu.geo.shapefile import save_shapefile
+from beach_seg_tpu.geo.tiff import write as write_tiff
+from beach_seg_tpu.models.seggpt.load import load_model_params
+from beach_seg_tpu.parallel.mesh import make_mesh, param_sharding, replicated
+from beach_seg_tpu.train.checkpoint import load_prompt_batch
+from beach_seg_tpu.utils.logging import allocate_run_dir, setup_logger
+
+logger = logging.getLogger(__name__)
+
+CLASS_EXPORT_NAMES = {"water": "WetDryLine", "veg": "VegLine"}
+
+
+def run_legacy(conf: LegacyConfig) -> Path:
+    root = Path(conf.prediction_root or conf.model_training_root)
+    out_dir = allocate_run_dir(root, conf.project, "legacy", jax.process_index())
+    setup_logger(out_dir)
+    logger.info("saving results to %s", out_dir)
+
+    buffer_px = int(conf.crop_size * conf.buffer_factor)
+    overlap = conf.crop_size // 2
+    scene_conf = dataclasses.replace(conf)
+    scene = create_scene(scene_conf, train=True, crop_overlap=overlap)
+    num_classes = len(conf.classes)
+    size = 448
+
+    # prompts: tuned export if given, else reference-date crops
+    if conf.prompt_ckpt is not None:
+        pb = load_prompt_batch(Path(conf.prompt_ckpt))
+        prompt_pixels = np.asarray(
+            (np.clip(pb["image"], 0, 1) * 255).astype(np.uint8), np.uint8
+        )
+        prompt_masks_ids = pb["mask"]
+        n = min(conf.n_prompts, len(prompt_pixels))
+        p_pixels = np.stack([preprocess_image(p, size) for p in prompt_pixels[:n]])
+        p_masks = np.stack([preprocess_mask(m, num_classes - 1, size) for m in prompt_masks_ids[:n]])
+    else:
+        img, nodata = scene.date_merged_imgs[scene.mask_date]
+        label = scene.date_masks[scene.mask_date]
+        p_pixels, p_masks = [], []
+        for crop in scene.crops[: conf.n_prompts]:
+            ci, _, cl = crop_tif(crop, img, nodata, label, conf.crop_size)
+            p_pixels.append(preprocess_image(ci, size))
+            p_masks.append(preprocess_mask(cl, num_classes - 1, size))
+        p_pixels, p_masks = np.stack(p_pixels), np.stack(p_masks)
+
+    model, model_cfg = zero_shot_model(conf)
+    params = load_model_params(conf.checkpoint, model, model_cfg)
+    mesh = make_mesh(conf.mesh_data, conf.mesh_model)
+
+    m_prompts = len(p_pixels)
+
+    def forward(params, query):
+        q = jnp.broadcast_to(query[None], (m_prompts, *query.shape))
+        out = model.apply(
+            {"params": params}, q, jnp.asarray(p_pixels), jnp.asarray(p_masks),
+            embedding_type="semantic", feature_ensemble=True,
+        )
+        return out["pred_masks"][0]  # first canvas (ref :68)
+
+    batched = jax.jit(jax.vmap(forward, in_axes=(None, 0)))
+
+    from beach_seg_tpu.geo.extent import group_images_by_date
+
+    groups = group_images_by_date(list((Path(conf.data) / "SatelliteImagery").glob("*/*.tif")))
+    groups.pop(scene.mask_date, None)
+    to_run = list(groups.items())
+    if conf.debug:
+        to_run = to_run[:1]
+
+    with jax.sharding.set_mesh(mesh):
+        params = jax.device_put(params, param_sharding(mesh, params))
+
+        merger = MosaicPrefetcher(
+            to_run,
+            lambda paths: merge_tifs(paths, scene.out_shape, scene.out_transform, scene.crs),
+        )
+        for date, (merged_img, merged_nodata) in merger:
+            output = np.zeros(scene.out_shape, np.uint8)
+
+            queries, metas = [], []
+            for crop in scene.crops:
+                ci, cn, _ = crop_tif(crop, merged_img, merged_nodata, None, conf.crop_size)
+                if np.all(cn):
+                    continue
+                queries.append(preprocess_image(ci, size))
+                metas.append((crop, cn))
+            if not queries:
+                continue
+            b = max(1, conf.batch_size)
+            for start in range(0, len(queries), b):
+                chunk = queries[start : start + b]
+                pad = b - len(chunk)
+                batch_q = np.stack(chunk + [chunk[-1]] * pad)
+                canvases = np.asarray(batched(params, jnp.asarray(batch_q)), np.float32)
+                preds = post_process_semantic(
+                    canvases[: len(chunk)], (conf.crop_size, conf.crop_size), num_classes - 1
+                )
+                for (crop, cn), pred in zip(metas[start : start + b], preds):
+                    pred = pred.astype(np.uint8)
+                    pred[cn.astype(bool)] = 0
+                    inner = pred[buffer_px:-buffer_px, buffer_px:-buffer_px]
+                    xmin, ymin, xmax, ymax = crop
+                    safe_assign_crop(
+                        output, inner, ymin + buffer_px, ymax - buffer_px,
+                        xmin + buffer_px, xmax - buffer_px, logic="ascending",
+                    )
+
+            # per-class 1-bit GeoTIFF + shoreline shapefile (ref :199-222)
+            for idx, cls in enumerate(conf.classes):
+                name = CLASS_EXPORT_NAMES.get(cls)
+                if name is None:
+                    continue
+                cls_mask = (output == idx).astype(np.uint8)
+                write_tiff(
+                    out_dir / f"{name}_{date}.tif", cls_mask, scene.out_transform,
+                    scene.crs, compress="lzw",
+                )
+                line = extract_linestring(cls_mask.astype(bool), merged_nodata)
+                if line is not None:
+                    save_shapefile(
+                        transform_line(line, scene.out_transform),
+                        out_dir / f"{name}_{date}.shp", scene.crs,
+                    )
+            logger.info("date %s done", date)
+    return out_dir

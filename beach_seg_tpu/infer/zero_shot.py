@@ -24,6 +24,7 @@ import numpy as np
 
 from beach_seg_tpu.config import PredConfig
 from beach_seg_tpu.data.dataset import create_scene
+from beach_seg_tpu.data.prefetch import MosaicPrefetcher
 from beach_seg_tpu.geo.masks import crop_tif
 from beach_seg_tpu.geo.mosaic import merge_tifs
 from beach_seg_tpu.infer.accumulator import VoteAccumulator
@@ -118,8 +119,11 @@ def run_zero_shot(conf: PredConfig) -> Path:
             to_run = to_run[:2]
 
         q_batch = max(1, conf.batch_size)
-        for date, img_paths in to_run:
-            merged_img, merged_nodata = merge_tifs(img_paths, scene.out_shape, scene.out_transform, scene.crs)
+        merger = MosaicPrefetcher(
+            to_run,
+            lambda paths: merge_tifs(paths, scene.out_shape, scene.out_transform, scene.crs),
+        )
+        for date, (merged_img, merged_nodata) in merger:
             merged_img = merged_img.copy()
             merged_img[merged_nodata, 1] = 255
             with VoteAccumulator(

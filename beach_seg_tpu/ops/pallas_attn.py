@@ -48,23 +48,28 @@ def _pick_block(s: int, target: int = 512) -> int:
     return best
 
 
-def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, out_ref, *, scale: float, hk: int, wk: int):
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref, *, scale: float):
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (S, D)
     v = v_ref[0]  # (S, D)
-    bq = q.shape[0]
-    s = k.shape[0]
     scores = (
         jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         * scale
     )
-    # decomposed rel-pos bias: scores[q, kh·Wk + kw] += rh[q, kh] + rw[q, kw]
+    # decomposed rel-pos bias: scores[q, kh·Wk + kw] += rh[q, kh] + rw[q, kw].
+    # Mosaic can't lane-split (BQ, S) → (BQ, Hk, Wk), so the broadcast-add is
+    # expressed as two 0/1 expansion matmuls (tiny MXU work, exact in fp32):
+    #   bias = rh @ Eh + rw @ Ew,  Eh[h, k] = [k // Wk == h], Ew[w, k] = [k % Wk == w]
     rh = rh_ref[0].astype(jnp.float32)  # (BQ, Hk)
     rw = rw_ref[0].astype(jnp.float32)  # (BQ, Wk)
-    scores = scores.reshape(bq, hk, wk) + rh[:, :, None] + rw[:, None, :]
-    scores = scores.reshape(bq, s)
+    scores = scores + jax.lax.dot_general(
+        rh, eh_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = scores + jax.lax.dot_general(
+        rw, ew_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
     probs = jax.nn.softmax(scores, axis=-1)
     out = jax.lax.dot_general(
         probs.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -88,7 +93,11 @@ def _pallas_attention(
     assert hk * wk == s, (hk, wk, s)
     bq = _pick_block(s)
     grid = (bh, s // bq)
-    kernel = functools.partial(_kernel, scale=scale, hk=hk, wk=wk)
+    kernel = functools.partial(_kernel, scale=scale)
+    # 0/1 expansion matrices for the decomposed bias (constant-folded by XLA)
+    ks = jnp.arange(s)
+    eh = (ks[None, :] // wk == jnp.arange(hk)[:, None]).astype(jnp.float32)  # (Hk, S)
+    ew = (ks[None, :] % wk == jnp.arange(wk)[:, None]).astype(jnp.float32)  # (Wk, S)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -98,6 +107,8 @@ def _pallas_attention(
             pl.BlockSpec((1, s, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, hk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, wk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hk, s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wk, s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
@@ -107,7 +118,7 @@ def _pallas_attention(
             transcendentals=bh * s * s,
         ),
         interpret=interpret,
-    )(q, k, v, rel_h, rel_w)
+    )(q, k, v, rel_h, rel_w, eh, ew)
 
 
 def _reference_flat(q, k, v, rel_h, rel_w, scale, hk, wk):

@@ -154,7 +154,7 @@ class PromptTuner:
         """One fused prompt-tuning step (ref src/model.py:233-269)."""
         conf = self.conf
         b = batch["image"].shape[0]
-        k_pal, k_idx, k_aug_q, k_aug_p, k_dp = jax.random.split(key, 5)
+        k_pal, k_idx, k_aug_q, k_aug_p, k_dp, k_pdrop = jax.random.split(key, 6)
 
         palette = random_palette(k_pal, self.num_classes, b)
         palette_norm = normalize_palette(palette)
@@ -168,6 +168,10 @@ class PromptTuner:
 
         def loss_fn(prompt_pixels):
             p_img = jnp.take(prompt_pixels, prompt_idx, axis=0)
+            if conf.prompt_dropout > 0.0:
+                # legacy trainer's prompt dropout (ref src/old/train.py:141-143)
+                drop = jax.random.bernoulli(k_pdrop, float(conf.prompt_dropout), (b, 1, 1, 1))
+                p_img = jnp.where(drop, 0.0, p_img)
             p_mask = jnp.take(prompt_masks, prompt_idx, axis=0)
             p_nod = jnp.take(prompt_nodata, prompt_idx, axis=0)
             p_img_aug, p_mask_aug, _ = train_augment(k_aug_p, p_img, p_mask, p_nod, self.aug)
