@@ -41,6 +41,9 @@ class BeachSegConfig:
     # compute dtype for the frozen backbone matmuls; params stay fp32.
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     deterministic: bool = False
+    # observability (SURVEY.md §5: absent in the reference, first-class here)
+    profile: bool = False  # jax.profiler trace → <run_dir>/profile (TB plugin)
+    debug_nans: bool = False  # jax_debug_nans: fail fast on NaN in any jit
     num_viz_images: int = 9
     viz_size: int = 224
 

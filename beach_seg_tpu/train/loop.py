@@ -35,6 +35,7 @@ from beach_seg_tpu.train.prompt_tuner import PromptTuner, lr_schedule
 from beach_seg_tpu.transforms import denormalize_imagenet
 from beach_seg_tpu.utils.confix import save_yaml
 from beach_seg_tpu.utils.logging import allocate_run_dir, setup_logger
+from beach_seg_tpu.utils.profiling import StepTimer, maybe_trace
 
 logger = logging.getLogger(__name__)
 
@@ -59,6 +60,8 @@ def model_for_config(conf: BeachSegConfig) -> tuple[SegGPT, SegGPTConfig]:
 
 
 def run_training(conf: BeachSegConfig, scene=None) -> Path:
+    if conf.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     run_dir = allocate_run_dir(Path(conf.model_training_root), conf.project, "train", jax.process_index())
     setup_logger(run_dir, rank=jax.process_index())
     logger.info("run dir: %s", run_dir)
@@ -108,18 +111,21 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
                 if k not in ("date", "valid")
             }
 
+        timer = StepTimer()
         for epoch in range(conf.epochs):
             train_cm = np.zeros((len(conf.classes),) * 2, np.int64)
-            for batch in iterate_batches(dataset, conf.batch_size, shuffle=True, seed=conf.seed + epoch):
-                key, sub = jax.random.split(key)
-                state, metrics = tuner.train_step(state, params, pmasks, pnodata, put(batch), sub)
-                train_cm += np.asarray(metrics["confusion"])
-                if global_step % conf.log_every_n_steps == 0:
-                    mlog.log_scalars(
-                        {"train/loss": float(metrics["loss"]), "lr": float(sched(global_step))},
-                        global_step,
-                    )
-                global_step += 1
+            with maybe_trace(conf.profile and epoch == 0, run_dir):
+                for batch in iterate_batches(dataset, conf.batch_size, shuffle=True, seed=conf.seed + epoch):
+                    key, sub = jax.random.split(key)
+                    state, metrics = tuner.train_step(state, params, pmasks, pnodata, put(batch), sub)
+                    train_cm += np.asarray(metrics["confusion"])
+                    timer.tick()
+                    if global_step % conf.log_every_n_steps == 0:
+                        scalars = {"train/loss": float(metrics["loss"]), "lr": float(sched(global_step))}
+                        if timer.steps_per_sec:
+                            scalars["perf/steps_per_sec"] = timer.steps_per_sec
+                        mlog.log_scalars(scalars, global_step)
+                    global_step += 1
             mlog.log_scalars({"train/f1": float(f1_from_confusion(jnp.asarray(train_cm)))}, global_step)
 
             # validation — same dataset as train (reference quirk #2)
