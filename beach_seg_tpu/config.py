@@ -102,6 +102,10 @@ class BeachSegConfig:
     # legacy trainer's prompt dropout: probability of zeroing a sample's
     # prompt pixels for a step (ref src/old/train.py:141-143); 0 = off.
     prompt_dropout: float = 0.0
+    # training loss: "nodata" = the reference's nodata-masked smooth-L1
+    # (src/model.py:40-64); "hf" = SegGPT's internal masked-patch loss, used
+    # by the legacy trainer (src/old/train.py:163).
+    loss_variant: str = "nodata"
 
 
 @dataclass(frozen=True)

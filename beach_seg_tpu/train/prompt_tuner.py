@@ -186,7 +186,10 @@ class PromptTuner:
                 deterministic=False,
                 rngs={"droppath": k_dp},
             )
-            loss = prompt_tune_loss(out["pred_masks"], labels_color, q_mask != 0, conf.loss_beta)
+            if conf.loss_variant == "hf":
+                loss = out["loss"]  # SegGPT internal loss (legacy trainer)
+            else:
+                loss = prompt_tune_loss(out["pred_masks"], labels_color, q_mask != 0, conf.loss_beta)
             return loss, out["pred_masks"]
 
         (loss, pred_masks), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.prompt_pixels)
