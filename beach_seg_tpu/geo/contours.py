@@ -84,9 +84,38 @@ def _cell_segments(m: np.ndarray, level: float) -> list[tuple[tuple, tuple]]:
     return segs
 
 
+def _cell_segments_native(m: np.ndarray, level: float) -> list[tuple[tuple, tuple]] | None:
+    try:
+        import ctypes
+
+        from beach_seg_tpu.native.build import load
+
+        lib = load()
+    except Exception:
+        return None
+    lib.bst_marching_squares.restype = ctypes.c_int
+    img = np.ascontiguousarray(m, np.float32)
+    cap = 4 * (m.shape[0] * m.shape[1] // 16 + 1024)
+    while True:
+        buf = np.empty((cap, 4), np.float64)
+        n = lib.bst_marching_squares(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            m.shape[0],
+            m.shape[1],
+            ctypes.c_double(level),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cap,
+        )
+        if n >= 0:
+            return [((r0, c0), (r1, c1)) for r0, c0, r1, c1 in buf[:n]]
+        cap = -n
+
+
 def find_contours(image: np.ndarray, level: float = 0.5) -> list[np.ndarray]:
     """Iso-contours of a 2-D array at ``level`` → list of (N, 2) (row, col)."""
-    segs = _cell_segments(np.asarray(image), level)
+    segs = _cell_segments_native(np.asarray(image), level)
+    if segs is None:
+        segs = _cell_segments(np.asarray(image), level)
     if not segs:
         return []
     lines = [LineString([a, b]) for a, b in segs]

@@ -43,14 +43,8 @@ def _ring_crossings(ring: np.ndarray, n_rows: int) -> list[np.ndarray]:
     return out
 
 
-def rasterize_polygon(
-    poly: Polygon, out_shape: tuple[int, int], transform: Affine | None = None
-) -> np.ndarray:
-    """(H, W) uint8 binary raster of one polygon (with holes)."""
-    h, w = out_shape
+def _rings_to_pixel(poly: Polygon, transform: Affine | None) -> list[np.ndarray]:
     inv = ~transform if transform is not None else None
-    mask = np.zeros((h, w), np.uint8)
-
     rings_px = []
     for ring in poly.rings:
         if inv is not None:
@@ -58,8 +52,46 @@ def rasterize_polygon(
             ys = inv.d * ring[:, 0] + inv.e * ring[:, 1] + inv.f
             rings_px.append(np.stack([xs, ys], axis=1))
         else:
-            rings_px.append(ring)
+            rings_px.append(np.asarray(ring, np.float64))
+    return rings_px
 
+
+def _rasterize_native(rings_px: list[np.ndarray], out_shape: tuple[int, int]) -> np.ndarray:
+    import ctypes
+
+    from beach_seg_tpu.native.build import load
+
+    lib = load()
+    lib.bst_rasterize.restype = ctypes.c_int
+    pts = np.ascontiguousarray(np.vstack(rings_px), np.float64)
+    sizes = np.asarray([len(r) for r in rings_px], np.int32)
+    out = np.zeros(out_shape, np.uint8)
+    lib.bst_rasterize(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(rings_px),
+        out_shape[0],
+        out_shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
+
+
+def rasterize_polygon(
+    poly: Polygon,
+    out_shape: tuple[int, int],
+    transform: Affine | None = None,
+    native: bool = True,
+) -> np.ndarray:
+    """(H, W) uint8 binary raster of one polygon (with holes)."""
+    rings_px = _rings_to_pixel(poly, transform)
+    if native:
+        try:
+            return _rasterize_native(rings_px, out_shape)
+        except Exception:  # toolchain missing → numpy fallback
+            pass
+    h, w = out_shape
+    mask = np.zeros((h, w), np.uint8)
     per_ring = [_ring_crossings(r, h) for r in rings_px]
     centers = np.arange(w, dtype=np.float64) + 0.5
     for row in range(h):
