@@ -10,11 +10,13 @@ import sys
 
 from beach_seg_tpu.config import PredictionConfig
 from beach_seg_tpu.infer.predict import run_predict
+from beach_seg_tpu.parallel.distributed import maybe_initialize
 from beach_seg_tpu.utils.confix import parse_cli
 
 
 def main(argv: list[str] | None = None) -> None:
     conf = parse_cli(PredictionConfig, sys.argv[1:] if argv is None else argv)
+    maybe_initialize(conf.world_size)
     print(run_predict(conf))
 
 

@@ -10,11 +10,13 @@ import sys
 
 from beach_seg_tpu.config import PredConfig
 from beach_seg_tpu.infer.zero_shot import run_zero_shot
+from beach_seg_tpu.parallel.distributed import maybe_initialize
 from beach_seg_tpu.utils.confix import parse_cli
 
 
 def main(argv: list[str] | None = None) -> None:
     conf = parse_cli(PredConfig, sys.argv[1:] if argv is None else argv)
+    maybe_initialize(conf.world_size)
     print(run_zero_shot(conf))
 
 

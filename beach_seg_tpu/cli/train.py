@@ -10,11 +10,13 @@ import sys
 
 from beach_seg_tpu.config import BeachSegConfig
 from beach_seg_tpu.train.loop import run_training
+from beach_seg_tpu.parallel.distributed import maybe_initialize
 from beach_seg_tpu.utils.confix import parse_cli
 
 
 def main(argv: list[str] | None = None) -> None:
     conf = parse_cli(BeachSegConfig, sys.argv[1:] if argv is None else argv)
+    maybe_initialize(conf.world_size)
     run_dir = run_training(conf)
     print(run_dir)
 
