@@ -95,6 +95,14 @@ def tif_image(data: np.ndarray, nodata: np.ndarray) -> np.ndarray:
     return np.array(img * 255, dtype=np.uint8)
 
 
+def color_to_rgba(color: str, alpha: float = 1.0) -> tuple:
+    """Color name/hex → (R, G, B, A) 0-255 (ref geo_util.py:473-486)."""
+    from matplotlib import colors as mcolors
+
+    rgb = mcolors.to_rgb(color)
+    return tuple(int(255 * c) for c in rgb) + (int(255 * alpha),)
+
+
 def contrast_stretch(image: np.ndarray, p_low: int = 2, p_high: int = 98) -> np.ndarray:
     """Percentile stretch per channel (ref img_util.py:15-33)."""
     image = image.astype(np.float32)

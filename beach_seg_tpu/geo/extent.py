@@ -13,6 +13,10 @@ def tif_paths(directory: Path) -> list[Path]:
     return sorted(p for p in directory.iterdir() if p.suffix == ".tif")
 
 
+def geojson_paths(directory: Path) -> list[Path]:
+    return sorted(p for p in directory.iterdir() if p.suffix == ".geojson")
+
+
 def get_masks(mask_dir: Path, pattern: str) -> list[Path]:
     return sorted(mask_dir.glob(pattern))
 

@@ -92,6 +92,23 @@ def crop_tif(
     return crop_img, crop_nodata, crop_label
 
 
+def create_per_day_crops(
+    crops: list[tuple[int, int, int, int]],
+    img: np.ndarray,
+    nodata: np.ndarray,
+    label: np.ndarray | None,
+    crop_size: int,
+):
+    """Batch crop_tif over a crop list (ref geo_util.py:273-294)."""
+    imgs, labels, nodatas = [], [], []
+    for crop in crops:
+        ci, cn, cl = crop_tif(crop, img, nodata, label, crop_size)
+        imgs.append(ci)
+        nodatas.append(cn)
+        labels.append(cl if cl is not None else np.zeros((crop_size, crop_size), np.uint8))
+    return imgs, labels, nodatas
+
+
 def safe_assign_crop(
     output: np.ndarray,
     crop: np.ndarray,

@@ -77,6 +77,18 @@ def crop_with_mask(pth: Path, win: tuple[int, int, int, int], crop_size: int):
     return img, mask
 
 
+def align_scene_rotated_bbox(valid_mask: np.ndarray):
+    """Rotated-bbox scene alignment (ref notebooks/beach.ipynb cell 5: cv2
+    minAreaRect over the valid footprint). Returns (center, (w, h), angle_deg)
+    and the 4 box corner points — used to rotate SkySat/Dove scenes upright."""
+    import cv2
+
+    pts = cv2.findNonZero(valid_mask.astype(np.uint8))
+    rect = cv2.minAreaRect(pts)
+    box = cv2.boxPoints(rect)
+    return rect, box
+
+
 # ------------------------------------------------------------- matplotlib
 
 
