@@ -44,6 +44,9 @@ class BeachSegConfig:
     # observability (SURVEY.md §5: absent in the reference, first-class here)
     profile: bool = False  # jax.profiler trace → <run_dir>/profile (TB plugin)
     debug_nans: bool = False  # jax_debug_nans: fail fast on NaN in any jit
+    # rematerialize encoder blocks in backward (trade FLOPs for HBM) — lets
+    # large train batches fit a single chip
+    remat: bool = False
     num_viz_images: int = 9
     viz_size: int = 224
 

@@ -277,6 +277,7 @@ class Encoder(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "auto"
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -290,9 +291,12 @@ class Encoder(nn.Module):
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.num_hidden_layers, dtype=np.float32)
         final_ln = LayerNorm(cfg.hidden_size, cfg.layer_norm_eps, name="layernorm")
         intermediates = []
+        # remat: recompute each block in backward — peak activation memory for
+        # prompt-tuning backprop drops from 24 layers to 1 (trade FLOPs for HBM)
+        block_cls = nn.remat(Block, static_argnums=(2, 3, 4)) if self.remat else Block
         for i in range(cfg.num_hidden_layers):
             ensemble_cond = 2 if cfg.merge_index > i else 1
-            x = Block(cfg, float(dpr[i]), self.dtype, self.precision, self.attn_impl, name=f"layers_{i}")(
+            x = block_cls(cfg, float(dpr[i]), self.dtype, self.precision, self.attn_impl, name=f"layers_{i}")(
                 x, ensemble_cond, feature_ensemble, deterministic
             )
             if i == cfg.merge_index:
@@ -379,6 +383,7 @@ class SegGPT(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "auto"
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -401,7 +406,7 @@ class SegGPT(nn.Module):
         x = Embeddings(cfg, self.dtype, name="embeddings")(
             pixel_canvas.astype(self.dtype), mask_canvas.astype(self.dtype), bool_masked_pos, embedding_type
         )
-        intermediates = Encoder(cfg, self.dtype, self.precision, self.attn_impl, name="encoder")(
+        intermediates = Encoder(cfg, self.dtype, self.precision, self.attn_impl, self.remat, name="encoder")(
             x, feature_ensemble, deterministic
         )
         feats = jnp.concatenate(intermediates, axis=-1)

@@ -56,7 +56,7 @@ def model_for_config(conf: BeachSegConfig) -> tuple[SegGPT, SegGPTConfig]:
     else:
         cfg = SegGPTConfig(image_size=(2 * conf.inpt_size, conf.inpt_size))
     dtype = jnp.bfloat16 if conf.compute_dtype == "bfloat16" else jnp.float32
-    return SegGPT(cfg, dtype=dtype), cfg
+    return SegGPT(cfg, dtype=dtype, remat=conf.remat), cfg
 
 
 def run_training(conf: BeachSegConfig, scene=None) -> Path:
