@@ -48,7 +48,14 @@ def _resize_crop(img: np.ndarray, out_size: int, method: str) -> np.ndarray:
 
 
 def resize_image_bicubic(img: np.ndarray, out_size: int) -> np.ndarray:
-    """PIL BICUBIC parity (ref data.py:95 uses config.resample = BICUBIC)."""
+    """PIL BICUBIC parity incl. the uint8 intermediate between passes
+    (ref data.py:95 uses config.resample = BICUBIC on a uint8 PIL image)."""
+    from beach_seg_tpu.ops.resize import resize_pil_uint8
+
+    if img.dtype == np.uint8:
+        if img.shape[0] == out_size:
+            return img.astype(np.float32)
+        return resize_pil_uint8(img, (out_size, out_size)).astype(np.float32)
     return _resize_crop(img, out_size, "bicubic_pil")
 
 

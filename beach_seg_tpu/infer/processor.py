@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from beach_seg_tpu.ops.resize import resize_matrix
+from beach_seg_tpu.ops.resize import resize_matrix, resize_pil_uint8
 from beach_seg_tpu.transforms import (
     IMAGENET_MEAN,
     IMAGENET_STD,
@@ -33,8 +33,12 @@ def _resize_hwc(img: np.ndarray, out_size: int, method: str) -> np.ndarray:
 
 def preprocess_image(img: np.ndarray, size: int = 448) -> np.ndarray:
     """(H, W, 3) uint8 → (size, size, 3) float32 normalized (HF preprocess:
-    BICUBIC resize, rescale 1/255, ImageNet normalize)."""
-    out = _resize_hwc(img, size, "bicubic_pil") / 255.0
+    PIL-BICUBIC resize — with PIL's uint8 intermediate — rescale 1/255,
+    ImageNet normalize)."""
+    if img.dtype == np.uint8:
+        out = resize_pil_uint8(img, (size, size)).astype(np.float64) / 255.0
+    else:
+        out = _resize_hwc(img, size, "bicubic_pil") / 255.0
     return ((out - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
 
 

