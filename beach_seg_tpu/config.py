@@ -60,6 +60,10 @@ class BeachSegConfig:
     batch_size: int = 1
 
     checkpoint: str = "BAAI/seggpt-vit-large"
+    # resume a preempted run: path to a previous train run dir — restores the
+    # full PromptState (pixels, EMA, optimizer, step) from its latest Orbax
+    # checkpoint and continues from the next epoch
+    resume_from: Path | None = None
 
     monitor_metric: str = "val/f1"
     monitor_mode: str = "max"

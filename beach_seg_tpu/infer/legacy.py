@@ -89,7 +89,7 @@ def run_legacy(conf: LegacyConfig) -> Path:
         q = jnp.broadcast_to(query[None], (m_prompts, *query.shape))
         out = model.apply(
             {"params": params}, q, jnp.asarray(p_pixels), jnp.asarray(p_masks),
-            embedding_type="semantic", feature_ensemble=True,
+            embedding_type="semantic", feature_ensemble=True, decode_query_only=True,
         )
         return out["pred_masks"][0]  # first canvas (ref :68)
 

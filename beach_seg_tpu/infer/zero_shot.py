@@ -100,7 +100,7 @@ def run_zero_shot(conf: PredConfig) -> Path:
         q = jnp.broadcast_to(query[None], p_pixels.shape)
         out = model.apply(
             {"params": params}, q, p_pixels, p_masks,
-            embedding_type="instance", feature_ensemble=True,
+            embedding_type="instance", feature_ensemble=True, decode_query_only=True,
         )
         return out["pred_masks"].mean(axis=0)  # (2H, W, 3)
 

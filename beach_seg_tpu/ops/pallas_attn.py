@@ -62,13 +62,11 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref, *, sca
     # Mosaic can't lane-split (BQ, S) → (BQ, Hk, Wk), so the broadcast-add is
     # expressed as two 0/1 expansion matmuls (tiny MXU work, exact in fp32):
     #   bias = rh @ Eh + rw @ Ew,  Eh[h, k] = [k // Wk == h], Ew[w, k] = [k % Wk == w]
-    rh = rh_ref[0].astype(jnp.float32)  # (BQ, Hk)
-    rw = rw_ref[0].astype(jnp.float32)  # (BQ, Wk)
     scores = scores + jax.lax.dot_general(
-        rh, eh_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rh_ref[0], eh_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     scores = scores + jax.lax.dot_general(
-        rw, ew_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rw_ref[0], ew_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     probs = jax.nn.softmax(scores, axis=-1)
     out = jax.lax.dot_general(
@@ -94,10 +92,12 @@ def _pallas_attention(
     bq = _pick_block(s)
     grid = (bh, s // bq)
     kernel = functools.partial(_kernel, scale=scale)
-    # 0/1 expansion matrices for the decomposed bias (constant-folded by XLA)
+    # 0/1 expansion matrices for the decomposed bias (constant-folded by XLA).
+    # Same dtype as q: a mixed bf16×f32 dot would fall back to the fp32 MXU
+    # rate; 0/1 values are exact in bf16.
     ks = jnp.arange(s)
-    eh = (ks[None, :] // wk == jnp.arange(hk)[:, None]).astype(jnp.float32)  # (Hk, S)
-    ew = (ks[None, :] % wk == jnp.arange(wk)[:, None]).astype(jnp.float32)  # (Wk, S)
+    eh = (ks[None, :] // wk == jnp.arange(hk)[:, None]).astype(q.dtype)  # (Hk, S)
+    ew = (ks[None, :] % wk == jnp.arange(wk)[:, None]).astype(q.dtype)  # (Wk, S)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -28,7 +28,7 @@ from beach_seg_tpu.models.seggpt.config import SegGPTConfig
 from beach_seg_tpu.models.seggpt.load import load_model_params
 from beach_seg_tpu.models.seggpt.model import SegGPT
 from beach_seg_tpu.parallel.mesh import batch_sharding, make_mesh, param_sharding, replicated
-from beach_seg_tpu.train.checkpoint import save_prompt_batch, save_state
+from beach_seg_tpu.train.checkpoint import latest_checkpoint, restore_state, save_prompt_batch, save_state
 from beach_seg_tpu.train.loggers import MetricsLogger, example_grid
 from beach_seg_tpu.train.metrics import f1_from_confusion
 from beach_seg_tpu.train.prompt_tuner import PromptTuner, lr_schedule
@@ -92,6 +92,14 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
         pmasks = jax.device_put(jnp.asarray(prompts["masks"], jnp.int32), replicated(mesh))
         pnodata = jax.device_put(jnp.asarray(prompts["nodata"]), replicated(mesh))
         state = jax.device_put(tuner.init_state(prompts["pixels"]), replicated(mesh))
+        start_epoch = 0
+        if conf.resume_from is not None:
+            ckpt = latest_checkpoint(Path(conf.resume_from))
+            if ckpt is None:
+                raise FileNotFoundError(f"no checkpoint under {conf.resume_from}")
+            state = jax.device_put(restore_state(ckpt, jax.device_get(state)), replicated(mesh))
+            start_epoch = int(state.step) // steps_per_epoch
+            logger.info("resumed from %s (step %d, epoch %d)", ckpt, int(state.step), start_epoch)
 
         save_prompt_batch(
             run_dir / "prompt_batch.npz",
@@ -112,7 +120,8 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
             }
 
         timer = StepTimer()
-        for epoch in range(conf.epochs):
+        global_step = start_epoch * steps_per_epoch
+        for epoch in range(start_epoch, conf.epochs):
             train_cm = np.zeros((len(conf.classes),) * 2, np.int64)
             with maybe_trace(conf.profile and epoch == 0, run_dir):
                 for batch in iterate_batches(dataset, conf.batch_size, shuffle=True, seed=conf.seed + epoch):

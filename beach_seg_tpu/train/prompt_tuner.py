@@ -185,6 +185,7 @@ class PromptTuner:
                 embedding_type="instance",
                 deterministic=False,
                 rngs={"droppath": k_dp},
+                decode_query_only=True,
             )
             if conf.loss_variant == "hf":
                 loss = out["loss"]  # SegGPT internal loss (legacy trainer)
@@ -231,6 +232,7 @@ class PromptTuner:
             prompt_masks=p_color,
             labels=labels_color,
             embedding_type="instance",
+            decode_query_only=True,
         )
         loss = prompt_tune_loss(out["pred_masks"], labels_color, q_mask != 0, conf.loss_beta)
         h = out["pred_masks"].shape[1] // 2
@@ -279,6 +281,7 @@ class PromptTuner:
             prompt_pixel_values=p_img_aug,
             prompt_masks=p_color,
             embedding_type="instance",
+            decode_query_only=True,
         )
         h = out["pred_masks"].shape[1] // 2
         return decode_by_palette(out["pred_masks"][:, h:], palette_norm)

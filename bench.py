@@ -42,7 +42,7 @@ def main() -> None:
 
     @jax.jit
     def forward(params, query, prompt_img, prompt_mask):
-        out = model.apply({"params": params}, query, prompt_img, prompt_mask)
+        out = model.apply({"params": params}, query, prompt_img, prompt_mask, decode_query_only=True)
         pred = out["pred_masks"]
         return decode_by_palette(pred[:, h:], palette_norm)
 
