@@ -25,6 +25,9 @@ from beach_seg_tpu.data.dataset import (
     iterate_batches,
     materialize_prompts,
 )
+from beach_seg_tpu.data.prefetch import MosaicPrefetcher
+from beach_seg_tpu.geo.extent import group_images_by_date
+from beach_seg_tpu.geo.mosaic import merge_tifs
 from beach_seg_tpu.infer.accumulator import VoteAccumulator
 from beach_seg_tpu.models.seggpt.load import load_model_params
 from beach_seg_tpu.ops.resize import resize_matrix
@@ -75,9 +78,10 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
     setup_logger(predict_dir)
     logger.info("saving results to %s", predict_dir)
 
-    # scenes: train scene for crops/prompts/extent, predict scene for dates
+    # one scene for crops/prompts/extent; predict dates stream through the
+    # mosaic prefetcher (the reference merges every date upfront,
+    # data.py:166-168 — minutes of serial host work and O(dates) memory)
     train_scene = create_scene(conf, train=True)
-    predict_scene = create_scene(conf, train=False)
     num_prompts = len(train_scene.crops)
 
     if pred_conf.train_run_dir is not None:
@@ -96,9 +100,15 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
     params = load_model_params(conf.checkpoint, model, model_cfg)
     mesh = make_mesh(conf.mesh_data, conf.mesh_model)
     tuner = PromptTuner(model=model, conf=conf, num_prompts=num_prompts, steps_per_epoch=1)
-
-    dataset = BeachSegDataset(predict_scene, conf)
     bs = batch_sharding(mesh)
+
+    data_dir = Path(conf.data)
+    groups = group_images_by_date(list((data_dir / "SatelliteImagery").glob("*/*.tif")))
+    groups.pop(train_scene.mask_date, None)
+    merger = MosaicPrefetcher(
+        sorted(groups.items()),
+        lambda paths: merge_tifs(paths, train_scene.out_shape, train_scene.out_transform, train_scene.crs),
+    )
 
     with jax.sharding.set_mesh(mesh):
         params = jax.device_put(params, param_sharding(mesh, params))
@@ -107,38 +117,43 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
         pnodata = jax.device_put(jnp.asarray(pb["nodata"]), replicated(mesh))
 
         with VoteAccumulator(
-            predict_scene.out_shape, predict_dir, predict_scene.out_transform,
-            predict_scene.crs, conf.classes,
+            train_scene.out_shape, predict_dir, train_scene.out_transform,
+            train_scene.crs, conf.classes,
         ) as acc:
-            for batch in iterate_batches(dataset, conf.batch_size):
-                if not batch["valid"].any():
-                    continue
-                dev_batch = {
-                    k: jax.device_put(jnp.asarray(v), bs)
-                    for k, v in batch.items()
-                    if k not in ("date", "valid")
-                }
-                pred = np.asarray(
-                    tuner.predict_step(pixels, params, pmasks, pnodata, dev_batch)
+            for date, (merged_img, merged_nodata) in merger:
+                date_scene = dataclasses.replace(
+                    train_scene, date_merged_imgs={date: (merged_img, merged_nodata)}, date_masks={}
                 )
-                # back to crop_size: image INTER_CUBIC, mask INTER_NEAREST
-                img_small = np.clip(
-                    _resize_batch(batch["image"], conf.crop_size, "bicubic_cv2") * 255, 0, 255
-                ).astype(np.uint8)
-                pred_small = np.round(
-                    _resize_batch(pred.astype(np.float32), conf.crop_size, "nearest_cv2")
-                ).astype(np.int32)
-                one_hot = np.eye(len(conf.classes), dtype=np.int32)[pred_small]
-                for i in range(len(pred)):
-                    if not batch["valid"][i]:
+                dataset = BeachSegDataset(date_scene, conf)
+                for batch in iterate_batches(dataset, conf.batch_size):
+                    if not batch["valid"].any():
                         continue
-                    if batch["nodata"][i].all():  # ref predict.py:235
-                        continue
-                    acc.update(
-                        batch["date"][i],
-                        predict_scene.crops[int(batch["crop_idx"][i])],
-                        one_hot[i],
-                        img_crop=img_small[i],
+                    dev_batch = {
+                        k: jax.device_put(jnp.asarray(v), bs)
+                        for k, v in batch.items()
+                        if k not in ("date", "valid")
+                    }
+                    pred = np.asarray(
+                        tuner.predict_step(pixels, params, pmasks, pnodata, dev_batch)
                     )
+                    # back to crop_size: image INTER_CUBIC, mask INTER_NEAREST
+                    img_small = np.clip(
+                        _resize_batch(batch["image"], conf.crop_size, "bicubic_cv2") * 255, 0, 255
+                    ).astype(np.uint8)
+                    pred_small = np.round(
+                        _resize_batch(pred.astype(np.float32), conf.crop_size, "nearest_cv2")
+                    ).astype(np.int32)
+                    one_hot = np.eye(len(conf.classes), dtype=np.int32)[pred_small]
+                    for i in range(len(pred)):
+                        if not batch["valid"][i]:
+                            continue
+                        if batch["nodata"][i].all():  # ref predict.py:235
+                            continue
+                        acc.update(
+                            batch["date"][i],
+                            train_scene.crops[int(batch["crop_idx"][i])],
+                            one_hot[i],
+                            img_crop=img_small[i],
+                        )
     logger.info("done")
     return predict_dir

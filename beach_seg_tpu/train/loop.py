@@ -24,6 +24,7 @@ import numpy as np
 
 from beach_seg_tpu.config import BeachSegConfig
 from beach_seg_tpu.data.dataset import BeachSegDataset, create_scene, iterate_batches, materialize_prompts
+from beach_seg_tpu.data.prefetch import prefetch_iterator
 from beach_seg_tpu.models.seggpt.config import SegGPTConfig
 from beach_seg_tpu.models.seggpt.load import load_model_params
 from beach_seg_tpu.models.seggpt.model import SegGPT
@@ -124,7 +125,10 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
         for epoch in range(start_epoch, conf.epochs):
             train_cm = np.zeros((len(conf.classes),) * 2, np.int64)
             with maybe_trace(conf.profile and epoch == 0, run_dir):
-                for batch in iterate_batches(dataset, conf.batch_size, shuffle=True, seed=conf.seed + epoch):
+                batches = prefetch_iterator(
+                    iterate_batches(dataset, conf.batch_size, shuffle=True, seed=conf.seed + epoch)
+                )
+                for batch in batches:
                     key, sub = jax.random.split(key)
                     state, metrics = tuner.train_step(state, params, pmasks, pnodata, put(batch), sub)
                     train_cm += np.asarray(metrics["confusion"])
