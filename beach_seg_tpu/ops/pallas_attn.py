@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from beach_seg_tpu.ops.attention import attention_reference
 
 
-def _pick_block(s: int, target: int = 512) -> int:
+def _pick_block(s: int, target: int = 784) -> int:
     """Largest divisor of ``s`` that is ≤ target and a multiple of 8 (sublane),
     falling back to ``s`` itself."""
     best = s

