@@ -21,7 +21,7 @@ from concurrent.futures import Future, ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Callable, Iterable, Iterator
 
-import numpy as np
+
 
 
 def prefetch_iterator(it: Iterable, depth: int = 2) -> Iterator:

@@ -37,7 +37,7 @@ from beach_seg_tpu.infer.zero_shot import zero_shot_model
 from beach_seg_tpu.geo.shapefile import save_shapefile
 from beach_seg_tpu.geo.tiff import write as write_tiff
 from beach_seg_tpu.models.seggpt.load import load_model_params
-from beach_seg_tpu.parallel.mesh import make_mesh, param_sharding, replicated
+from beach_seg_tpu.parallel.mesh import make_mesh, param_sharding
 from beach_seg_tpu.train.checkpoint import load_prompt_batch
 from beach_seg_tpu.utils.logging import allocate_run_dir, setup_logger
 

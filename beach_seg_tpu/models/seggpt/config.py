@@ -7,7 +7,7 @@ reference consumes as a frozen black box (ref /root/reference/src/util/ml_util.p
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

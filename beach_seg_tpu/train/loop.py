@@ -33,7 +33,6 @@ from beach_seg_tpu.train.checkpoint import latest_checkpoint, restore_state, sav
 from beach_seg_tpu.train.loggers import MetricsLogger, example_grid
 from beach_seg_tpu.train.metrics import f1_from_confusion
 from beach_seg_tpu.train.prompt_tuner import PromptTuner, lr_schedule
-from beach_seg_tpu.transforms import denormalize_imagenet
 from beach_seg_tpu.utils.confix import save_yaml
 from beach_seg_tpu.utils.logging import allocate_run_dir, setup_logger
 from beach_seg_tpu.utils.profiling import StepTimer, maybe_trace
