@@ -122,6 +122,13 @@ class PredictionConfig(BeachSegConfig):
     train_run_dir: Path | None = None
     prediction_root: Path | None = None
     overlap: int = 0
+    # reference CLI alias (src/predict.py:33): path to a train run's conf.yaml;
+    # equivalent to train_run_dir=<its parent>
+    config_path: Path | None = None
+
+    def __post_init__(self):
+        if self.config_path is not None and self.train_run_dir is None:
+            object.__setattr__(self, "train_run_dir", Path(self.config_path).parent)
 
 
 @dataclass(frozen=True)
@@ -147,6 +154,12 @@ class PredConfig(BeachSegConfig):
     n_prompts: int = 2
     zero_shot_crop_size: int = 336
     feature_ensemble: bool = True
+    # reference CLI alias (src/predict_no_prompt.py:39)
+    results_dir: Path | None = None
+
+    def __post_init__(self):
+        if self.results_dir is not None and self.prediction_root is None:
+            object.__setattr__(self, "prediction_root", Path(self.results_dir))
 
 
 def cpu_count() -> int:
