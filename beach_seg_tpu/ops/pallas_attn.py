@@ -131,9 +131,114 @@ def _reference_flat(q, k, v, rel_h, rel_w, scale, hk, wk):
     return attention_reference(q, k, v, rh, rw, scale)
 
 
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, rh_ref, rw_ref, g_ref, eh_ref, ew_ref,
+    dq_ref, dk_ref, dv_ref, drh_ref, drw_ref,
+    *, scale: float,
+):
+    """Flash-style backward: recompute P per q-block in VMEM, accumulate
+    dK/dV across q-blocks via output-block revisiting (index_map constant in
+    the q dimension, init at i==0)."""
+    i = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
+
+    # recompute probabilities (same math as the forward kernel)
+    scores = (
+        jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    )
+    scores = scores + jax.lax.dot_general(
+        rh_ref[0], eh_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = scores + jax.lax.dot_general(
+        rw_ref[0], ew_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = jax.nn.softmax(scores, axis=-1)  # (BQ, S) f32
+
+    # dV += Pᵀ g
+    dv_blk = jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    # dP = g Vᵀ ; dS = P ∘ (dP - rowsum(dP ∘ P))
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (BQ, S) f32
+
+    dq_ref[0] = (
+        jax.lax.dot_general(ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    ).astype(dq_ref.dtype)
+    dk_blk = (
+        jax.lax.dot_general(ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    )
+    drh_ref[0] = jax.lax.dot_general(
+        ds, eh_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(drh_ref.dtype)
+    drw_ref[0] = jax.lax.dot_general(
+        ds, ew_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(drw_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_blk.astype(dv_ref.dtype)
+
+    @pl.when(i > 0)
+    def _():
+        dk_ref[0] = dk_ref[0] + dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_ref[0] + dv_blk.astype(dv_ref.dtype)
+
+
+def _pallas_attention_bwd(q, k, v, rel_h, rel_w, g, scale: float, interpret: bool = False):
+    bh, s, d = q.shape
+    hk = rel_h.shape[-1]
+    wk = rel_w.shape[-1]
+    # smaller q-blocks than forward: backward keeps three (BQ, S) f32 buffers
+    # (p, dp, ds) live at once and 784 blows the 16 MB VMEM budget
+    bq = _pick_block(s, target=392)
+    grid = (bh, s // bq)
+    ks = jnp.arange(s)
+    eh = (ks[None, :] // wk == jnp.arange(hk)[:, None]).astype(q.dtype)
+    ew = (ks[None, :] % wk == jnp.arange(wk)[:, None]).astype(q.dtype)
+    kernel = functools.partial(_bwd_kernel, scale=scale)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, wk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hk, s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wk, s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, wk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, s, d), f32),  # dK accumulates across blocks
+            jax.ShapeDtypeStruct((bh, s, d), f32),  # dV accumulates across blocks
+            jax.ShapeDtypeStruct((bh, s, hk), rel_h.dtype),
+            jax.ShapeDtypeStruct((bh, s, wk), rel_w.dtype),
+        ),
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w, g, eh, ew)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def fused_attention(q, k, v, rel_h, rel_w, scale: float, hk: int, wk: int):
-    """Fused forward; XLA-recompute backward. Shapes as _pallas_attention."""
+    """Fused forward + flash-style backward. Shapes as _pallas_attention."""
     interpret = jax.default_backend() != "tpu"
     return _pallas_attention(q, k, v, rel_h, rel_w, scale, interpret=interpret)
 
@@ -144,8 +249,11 @@ def _fwd(q, k, v, rel_h, rel_w, scale, hk, wk):
 
 def _bwd(scale, hk, wk, res, g):
     q, k, v, rel_h, rel_w = res
-    _, vjp = jax.vjp(lambda *a: _reference_flat(*a, scale, hk, wk), q, k, v, rel_h, rel_w)
-    return vjp(g)
+    interpret = jax.default_backend() != "tpu"
+    dq, dk, dv, drh, drw = _pallas_attention_bwd(
+        q, k, v, rel_h, rel_w, g, scale, interpret=interpret
+    )
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), drh, drw
 
 
 fused_attention.defvjp(_fwd, _bwd)
