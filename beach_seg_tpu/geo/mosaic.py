@@ -57,6 +57,58 @@ def affine_sample_matrix(
     return mat, valid
 
 
+def _translate_axis(
+    src: np.ndarray, axis: int, out_size: int, offset: float, method: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Scale-1 resample along one axis: a constant k-tap stencil shared by
+    every output pixel (offset is the same fraction everywhere), O(N·k)
+    instead of the dense O(N²) matrix. Returns (resampled, valid mask)."""
+    in_size = src.shape[axis]
+    centers0 = offset - 0.5 + 0.5  # source coord of output pixel 0 center
+    base = int(np.floor(centers0))
+    frac = centers0 - base
+    if method == "nearest":
+        taps = np.array([0])
+        weights = np.array([1.0], np.float32)
+        base = int(np.floor(centers0 + 0.5))
+    else:
+        taps = np.arange(4) - 1
+        weights = _cubic(frac - taps).astype(np.float32)
+        weights /= max(weights.sum(), 1e-12)
+    out_shape = list(src.shape)
+    out_shape[axis] = out_size
+    out = np.zeros(out_shape, np.float32)
+    for t, wgt in zip(taps, weights):
+        src_lo = base + t  # source index feeding output 0
+        o0 = max(0, -src_lo)
+        s0 = max(0, src_lo)
+        n = min(out_size - o0, in_size - s0)
+        if n <= 0:
+            continue
+        sl_out = [slice(None)] * src.ndim
+        sl_src = [slice(None)] * src.ndim
+        sl_out[axis] = slice(o0, o0 + n)
+        sl_src[axis] = slice(s0, s0 + n)
+        # clamp-to-edge for taps that run off the source (torch/GDAL replicate)
+        out[tuple(sl_out)] += wgt * src[tuple(sl_src)].astype(np.float32)
+        # edge replication for out-of-range taps at the borders
+        if s0 == 0 and src_lo < 0:
+            sl_e = [slice(None)] * src.ndim
+            sl_e[axis] = slice(0, min(-src_lo, out_size))
+            sl_s = [slice(None)] * src.ndim
+            sl_s[axis] = slice(0, 1)
+            out[tuple(sl_e)] += wgt * src[tuple(sl_s)].astype(np.float32)
+        if s0 + n == in_size and o0 + n < out_size:
+            sl_e = [slice(None)] * src.ndim
+            sl_e[axis] = slice(o0 + n, out_size)
+            sl_s = [slice(None)] * src.ndim
+            sl_s[axis] = slice(in_size - 1, in_size)
+            out[tuple(sl_e)] += wgt * src[tuple(sl_s)].astype(np.float32)
+    centers = offset + np.arange(out_size)
+    valid = (centers > -0.5) & (centers < in_size - 0.5)
+    return out, valid
+
+
 def reproject(
     src: np.ndarray,
     src_transform: Affine,
@@ -66,7 +118,11 @@ def reproject(
     fill: float = 0.0,
 ) -> np.ndarray:
     """Same-CRS affine resample of (C, h, w) → (C, H, W) (rasterio.reproject
-    for the axis-aligned equal-CRS case, ref geo_util.py:390-408)."""
+    for the axis-aligned equal-CRS case, ref geo_util.py:390-408).
+
+    Scale-1 (equal pixel sizes — the only case this pipeline produces, the
+    extent step asserts it) takes an O(H·W) constant-stencil path; unequal
+    scales fall back to the dense sampling-matrix formulation."""
     assert src_transform.b == 0 and src_transform.d == 0, "rotated source grid"
     assert dst_transform.b == 0 and dst_transform.d == 0, "rotated destination grid"
     c, h, w = src.shape
@@ -75,9 +131,14 @@ def reproject(
     off_y = (dst_transform.f - src_transform.f) / src_transform.e
     sx = dst_transform.a / src_transform.a
     sy = dst_transform.e / src_transform.e
-    wx, valid_x = affine_sample_matrix(w, out_w, off_x, sx, method)
-    wy, valid_y = affine_sample_matrix(h, out_h, off_y, sy, method)
-    out = np.einsum("oh,chw,pw->cop", wy, src.astype(np.float32), wx, optimize=True)
+
+    if abs(sx - 1.0) < 1e-9 and abs(sy - 1.0) < 1e-9:
+        out, valid_y = _translate_axis(src, 1, out_h, off_y, method)
+        out, valid_x = _translate_axis(out, 2, out_w, off_x, method)
+    else:
+        wx, valid_x = affine_sample_matrix(w, out_w, off_x, sx, method)
+        wy, valid_y = affine_sample_matrix(h, out_h, off_y, sy, method)
+        out = np.einsum("oh,chw,pw->cop", wy, src.astype(np.float32), wx, optimize=True)
     invalid = ~(valid_y[:, None] & valid_x[None, :])
     out[:, invalid] = fill
     return out.astype(src.dtype if method == "nearest" else np.float32)

@@ -112,3 +112,24 @@ def test_contrast_stretch_and_overlay():
     pred = rng.integers(0, 4, (8, 8))
     out = overlay_prediction(img, pred, ("nodata", "sand", "water", "veg"))
     assert out.size == (8, 8)
+
+
+def test_reproject_fast_path_matches_dense():
+    """Scale-1 constant-stencil path ≡ the dense sampling-matrix formulation."""
+    import numpy as np
+
+    from beach_seg_tpu.geo.mosaic import affine_sample_matrix
+    from beach_seg_tpu.geo import mosaic
+
+    rng = np.random.default_rng(3)
+    src = rng.random((2, 30, 40)).astype(np.float32)
+    src_t = Affine.from_origin(0.0, 90.0, 3.0, 3.0)
+    for dx, dy in [(0.0, 0.0), (5.0, -3.0), (2.7, -1.3), (-4.4, 6.9)]:
+        dst_t = Affine.from_origin(dx * 3, 90.0 - dy * 3, 3.0, 3.0)
+        for method in ("cubic", "nearest"):
+            wx, vx = affine_sample_matrix(40, 44, dx, 1.0, method)
+            wy, vy = affine_sample_matrix(30, 33, dy, 1.0, method)
+            dense = np.einsum("oh,chw,pw->cop", wy, src, wx, optimize=True)
+            dense[:, ~(vy[:, None] & vx[None, :])] = -7
+            fast = mosaic.reproject(src, src_t, (33, 44), dst_t, method, fill=-7)
+            assert np.abs(dense - fast.astype(np.float64)).max() < 1e-4, (dx, dy, method)
