@@ -154,17 +154,25 @@ def merge_tifs(
     behavioral port of ref geo_util.py:374-422: cubic-reproject each image,
     nearest-reproject its validity, validity-weighted mean, nodata where no
     image covers, then display-RGB conversion via ``tif_image``."""
-    rasters = [read(p, dtype=np.float32) for p in ref_imgs]
-    n_ch = rasters[0].count
-    dst_data = np.empty((len(rasters), n_ch, *out_shape), np.float32)
-    dst_yesdata = np.empty((len(rasters), *out_shape), np.uint8)
-    for idx, r in enumerate(rasters):
-        assert r.count == n_ch
+    # file decode (native, releases the GIL) + reprojection are independent
+    # per image — run them on a thread pool
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_one(p: Path):
+        r = read(p, dtype=np.float32)
         if crs is not None and r.crs is not None:
-            assert r.crs == crs, f"CRS mismatch: {ref_imgs[idx]}"
-        dst_data[idx] = reproject(r.data, r.transform, out_shape, out_transform, "cubic")
+            assert r.crs == crs, f"CRS mismatch: {p}"
+        data = reproject(r.data, r.transform, out_shape, out_transform, "cubic")
         yes = r.valid_mask()[None].astype(np.uint8)
-        dst_yesdata[idx] = reproject(yes, r.transform, out_shape, out_transform, "nearest", fill=0)[0]
+        yes = reproject(yes, r.transform, out_shape, out_transform, "nearest", fill=0)[0]
+        return data, yes
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(ref_imgs)))) as pool:
+        results = list(pool.map(load_one, ref_imgs))
+    n_ch = results[0][0].shape[0]
+    assert all(d.shape[0] == n_ch for d, _ in results)
+    dst_data = np.stack([d for d, _ in results])
+    dst_yesdata = np.stack([y for _, y in results])
 
     w = dst_yesdata.astype(np.float32)[:, None]
     weighted_sum = (dst_data * w).sum(axis=0)

@@ -17,11 +17,13 @@
 // the framework dependency-free and lets the host I/O path be profiled and
 // tuned as one unit.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <string>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
@@ -525,24 +527,47 @@ int bst_read(void* h, void* dst_v) {
           }
         }
   } else {
+    // strips decode independently — fan out over hardware threads
     int nstrips = (t->height + t->rows_per_strip - 1) / t->rows_per_strip;
-    for (int p = 0; p < planes; p++)
-      for (int s = 0; s < nstrips; s++) {
+    int total = planes * nstrips;
+    int nthreads = (int)std::min<size_t>(std::thread::hardware_concurrency(), 16);
+    if (nthreads < 1 || total < 4 || t->compression == 1 /*raw memcpy is cheap*/)
+      nthreads = 1;
+    std::atomic<int> next(0);
+    std::atomic<bool> failed(false);
+    auto worker = [&]() {
+      std::vector<uint8_t> local;
+      while (true) {
+        int job = next.fetch_add(1);
+        if (job >= total || failed.load()) return;
+        int p = job / nstrips;
+        int s = job % nstrips;
         int rows = std::min(t->rows_per_strip, t->height - s * t->rows_per_strip);
         size_t raw = (size_t)rows * t->width * samples_per_chunk * sz;
-        size_t idx = (size_t)p * nstrips + s;
-        if (!decompress_chunk(*t, idx, raw, chunk)) return -1;
-        if (t->predictor == 2) undo_predictor2(chunk.data(), rows, t->width, samples_per_chunk, t->dtype);
-        swap_chunk(*t, chunk);
+        if (!decompress_chunk(*t, (size_t)job, raw, local)) {
+          failed.store(true);
+          return;
+        }
+        if (t->predictor == 2) undo_predictor2(local.data(), rows, t->width, samples_per_chunk, t->dtype);
+        swap_chunk(*t, local);
         if (planes == 1) {
-          memcpy(dst + (size_t)s * t->rows_per_strip * row_bytes, chunk.data(), raw);
+          memcpy(dst + (size_t)s * t->rows_per_strip * row_bytes, local.data(), raw);
         } else {
           for (int r = 0; r < rows; r++)
             for (int c = 0; c < t->width; c++)
               memcpy(dst + (size_t)(s * t->rows_per_strip + r) * row_bytes + (size_t)c * pix + (size_t)p * sz,
-                     chunk.data() + ((size_t)r * t->width + c) * sz, sz);
+                     local.data() + ((size_t)r * t->width + c) * sz, sz);
         }
       }
+    };
+    if (nthreads == 1) {
+      worker();
+    } else {
+      std::vector<std::thread> threads;
+      for (int i = 0; i < nthreads; i++) threads.emplace_back(worker);
+      for (auto& th : threads) th.join();
+    }
+    if (failed.load()) return -1;
   }
   return 0;
 }

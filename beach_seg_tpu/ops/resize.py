@@ -64,6 +64,7 @@ _KERNELS = {
 }
 
 
+@functools.lru_cache(maxsize=256)
 def resize_matrix(
     in_size: int,
     out_size: int,
@@ -77,9 +78,13 @@ def resize_matrix(
     antialias on downscale; torch/cv2 methods do not.
     """
     if method == "nearest_pil":
-        return _nearest_matrix(in_size, out_size, half_pixel=True)
+        m = _nearest_matrix(in_size, out_size, half_pixel=True)
+        m.setflags(write=False)  # cached — guard against caller mutation
+        return m
     if method in ("nearest_floor", "nearest_cv2", "nearest_torch"):
-        return _nearest_matrix(in_size, out_size, half_pixel=False)
+        m = _nearest_matrix(in_size, out_size, half_pixel=False)
+        m.setflags(write=False)
+        return m
     kernel, support = _KERNELS[method]
     if antialias is None:
         antialias = method.endswith("_pil") or method.endswith("_gdal")
@@ -114,7 +119,9 @@ def resize_matrix(
         weights = weights / np.maximum(weights.sum(axis=1, keepdims=True), 1e-12)
         taps_c = np.clip(taps, 0, in_size - 1)
     np.add.at(mat, (np.repeat(np.arange(out_size), n_taps), taps_c.ravel()), weights.ravel())
-    return mat.astype(np.float32)
+    out = mat.astype(np.float32)
+    out.setflags(write=False)  # cached — guard against caller mutation
+    return out
 
 
 def _nearest_matrix(in_size: int, out_size: int, half_pixel: bool) -> np.ndarray:
