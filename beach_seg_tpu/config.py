@@ -111,8 +111,14 @@ class BeachSegConfig:
     prompt_dropout: float = 0.0
     # training loss: "nodata" = the reference's nodata-masked smooth-L1
     # (src/model.py:40-64); "hf" = SegGPT's internal masked-patch loss, used
-    # by the legacy trainer (src/old/train.py:163).
+    # by the legacy trainer (src/old/train.py:163); "dice_bce" = Dice+BCE on
+    # soft palette-decoded class probabilities (segmentation-standard
+    # objective; BASELINE.json config #2).
     loss_variant: str = "nodata"
+    # backbone preset: "large" = ViT-L (BAAI/seggpt-vit-large topology);
+    # "huge" = ViT-H-class scale-up for 8-band SuperDove work
+    # (BASELINE.json config #5) — shard over the mesh model axis via TP.
+    backbone: str = "large"
 
 
 @dataclass(frozen=True)

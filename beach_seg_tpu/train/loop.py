@@ -53,6 +53,16 @@ def model_for_config(conf: BeachSegConfig) -> tuple[SegGPT, SegGPTConfig]:
             merge_index=1,
             intermediate_hidden_state_indices=(1, 3),
         )
+    elif conf.backbone == "huge":
+        # ViT-H-class backbone for the SuperDove configuration
+        # (BASELINE.json config #5); TP-shard via mesh_model > 1
+        cfg = SegGPTConfig(
+            hidden_size=1280,
+            num_hidden_layers=32,
+            num_attention_heads=16,
+            image_size=(2 * conf.inpt_size, conf.inpt_size),
+            intermediate_hidden_state_indices=(7, 15, 23, 31),
+        )
     else:
         cfg = SegGPTConfig(image_size=(2 * conf.inpt_size, conf.inpt_size))
     dtype = jnp.bfloat16 if conf.compute_dtype == "bfloat16" else jnp.float32

@@ -78,6 +78,44 @@ def prompt_tune_loss(
     return (loss * keep).sum() / jnp.maximum(denom, 1.0)
 
 
+def soft_class_probs(pred_masks: jnp.ndarray, palette_norm: jnp.ndarray, tau: float = 0.05) -> jnp.ndarray:
+    """Differentiable class probabilities from the painted query half:
+    softmax over negative squared palette distances (the soft version of the
+    distance-argmin decode). pred (B, 2H, W, 3) → (B, H, W, C)."""
+    h = pred_masks.shape[1] // 2
+    query = pred_masks[:, h:].astype(jnp.float32)  # (B, H, W, 3)
+    p = palette_norm.astype(jnp.float32)  # (B, C, 3)
+    d2 = (
+        jnp.sum(query * query, axis=-1)[..., None]
+        - 2.0 * jnp.einsum("bhwc,bnc->bhwn", query, p)
+        + jnp.sum(p * p, axis=-1)[:, None, None, :]
+    )
+    return jax.nn.softmax(-d2 / tau, axis=-1)
+
+
+def dice_bce_loss(
+    pred_masks: jnp.ndarray,
+    palette_norm: jnp.ndarray,
+    labels: jnp.ndarray,
+    yesdata: jnp.ndarray,
+    num_classes: int,
+) -> jnp.ndarray:
+    """Dice + BCE on soft class probabilities (the segmentation-standard
+    objective named in BASELINE.json; the reference itself trains smooth-L1).
+    labels: (B, H, W) int ids; masked to yesdata pixels."""
+    probs = soft_class_probs(pred_masks, palette_norm)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    keep = yesdata.astype(jnp.float32)[..., None]
+    eps = 1e-6
+    probs_c = jnp.clip(probs, eps, 1 - eps)
+    bce = -(onehot * jnp.log(probs_c) + (1 - onehot) * jnp.log(1 - probs_c))
+    bce = (bce * keep).sum() / jnp.maximum(keep.sum() * num_classes, 1.0)
+    inter = (probs * onehot * keep).sum(axis=(1, 2))
+    denom = ((probs + onehot) * keep).sum(axis=(1, 2))
+    dice = 1.0 - (2 * inter + eps) / (denom + eps)
+    return bce + dice.mean()
+
+
 def lr_schedule(conf: BeachSegConfig, steps_per_epoch: int):
     """sqrt-batch-scaled warmup + per-epoch cosine (ref src/model.py:385-428).
 
@@ -189,6 +227,10 @@ class PromptTuner:
             )
             if conf.loss_variant == "hf":
                 loss = out["loss"]  # SegGPT internal loss (legacy trainer)
+            elif conf.loss_variant == "dice_bce":
+                loss = dice_bce_loss(
+                    out["pred_masks"], palette_norm, q_mask, q_mask != 0, self.num_classes
+                )
             else:
                 loss = prompt_tune_loss(out["pred_masks"], labels_color, q_mask != 0, conf.loss_beta)
             return loss, out["pred_masks"]
