@@ -128,6 +128,10 @@ class PredictionConfig(BeachSegConfig):
     train_run_dir: Path | None = None
     prediction_root: Path | None = None
     overlap: int = 0
+    # crop merging: "vote" = the reference's one-hot vote counting
+    # (predict.py:120-157); "blend" = feathered soft-probability blending
+    # (overlap-blend mosaic; smoother seams on overlapping crops)
+    merge: str = "vote"
     # reference CLI alias (src/predict.py:33): path to a train run's conf.yaml;
     # equivalent to train_run_dir=<its parent>
     config_path: Path | None = None

@@ -53,6 +53,7 @@ class VoteAccumulator:
         crs: str | None,
         classes: tuple[str, ...],
         export_lines: bool = False,
+        dtype=np.int32,
     ):
         self.out_shape = out_shape
         self.num_classes = len(classes)
@@ -60,6 +61,7 @@ class VoteAccumulator:
         self.crs = crs
         self.classes = classes
         self.export_lines = export_lines
+        self.dtype = dtype  # int32 votes, or float32 for overlap-blend
 
         self.img_dir = save_dir / "images"
         self.mask_dir = save_dir / "masks"
@@ -89,7 +91,7 @@ class VoteAccumulator:
             img.copy() if img is not None else np.zeros((*self.out_shape, 3), np.uint8)
         )
         self.current_nodata = nodata if nodata is not None else np.zeros(self.out_shape, bool)
-        self.current_pred_counter = np.zeros((*self.out_shape, self.num_classes), np.int32)
+        self.current_pred_counter = np.zeros((*self.out_shape, self.num_classes), self.dtype)
 
     def update(
         self,

@@ -81,8 +81,14 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
     # one scene for crops/prompts/extent; predict dates stream through the
     # mosaic prefetcher (the reference merges every date upfront,
     # data.py:166-168 — minutes of serial host work and O(dates) memory)
-    train_scene = create_scene(conf, train=True)
+    train_scene = create_scene(conf, train=True, crop_overlap=pred_conf.overlap)
     num_prompts = len(train_scene.crops)
+    use_blend = pred_conf.merge == "blend"
+    feather = None
+    if use_blend:
+        # Hann window, floored so zero-overlap regions still receive votes
+        ramp = np.sin(np.pi * (np.arange(conf.crop_size) + 0.5) / conf.crop_size) ** 2
+        feather = (np.outer(ramp, ramp) + 1e-3)[..., None].astype(np.float32)
 
     if pred_conf.train_run_dir is not None:
         pb = load_prompt_batch(Path(pred_conf.train_run_dir) / "prompt_batch_tuned.npz")
@@ -119,6 +125,7 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
         with VoteAccumulator(
             train_scene.out_shape, predict_dir, train_scene.out_transform,
             train_scene.crs, conf.classes,
+            dtype=np.float32 if use_blend else np.int32,
         ) as acc:
             for date, (merged_img, merged_nodata) in merger:
                 date_scene = dataclasses.replace(
@@ -133,18 +140,28 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
                         for k, v in batch.items()
                         if k not in ("date", "valid")
                     }
-                    pred = np.asarray(
-                        tuner.predict_step(pixels, params, pmasks, pnodata, dev_batch)
-                    )
                     # back to crop_size: image INTER_CUBIC, mask INTER_NEAREST
                     img_small = np.clip(
                         _resize_batch(batch["image"], conf.crop_size, "bicubic_cv2") * 255, 0, 255
                     ).astype(np.uint8)
-                    pred_small = np.round(
-                        _resize_batch(pred.astype(np.float32), conf.crop_size, "nearest_cv2")
-                    ).astype(np.int32)
-                    one_hot = np.eye(len(conf.classes), dtype=np.int32)[pred_small]
-                    for i in range(len(pred)):
+                    if use_blend:
+                        # overlap-blend: feathered soft class probabilities
+                        probs = np.asarray(
+                            tuner.predict_step_probs(pixels, params, pmasks, pnodata, dev_batch)
+                        )
+                        votes = np.clip(
+                            _resize_batch(probs, conf.crop_size, "bicubic_cv2"), 0, None
+                        )
+                        one_hot = votes * feather[None]
+                    else:
+                        pred = np.asarray(
+                            tuner.predict_step(pixels, params, pmasks, pnodata, dev_batch)
+                        )
+                        pred_small = np.round(
+                            _resize_batch(pred.astype(np.float32), conf.crop_size, "nearest_cv2")
+                        ).astype(np.int32)
+                        one_hot = np.eye(len(conf.classes), dtype=np.int32)[pred_small]
+                    for i in range(len(one_hot)):
                         if not batch["valid"][i]:
                             continue
                         if batch["nodata"][i].all():  # ref predict.py:235

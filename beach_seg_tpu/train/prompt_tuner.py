@@ -327,3 +327,35 @@ class PromptTuner:
         )
         h = out["pred_masks"].shape[1] // 2
         return decode_by_palette(out["pred_masks"][:, h:], palette_norm)
+
+    # ------------------------------------------------------- predict (soft)
+
+    @partial(jax.jit, static_argnums=0)
+    def predict_step_probs(self, prompt_pixels, model_params, prompt_masks, prompt_nodata, batch):
+        """Like predict_step but returns soft class probabilities
+        (B, S, S, C) — the overlap-blend inference mode's input (softmax over
+        negative palette distances instead of the hard argmin)."""
+        conf = self.conf
+        b = batch["image"].shape[0]
+        palette = jnp.broadcast_to(
+            jnp.asarray(build_palette(self.num_classes - 1))[None], (b, self.num_classes, 3)
+        )
+        palette_norm = normalize_palette(palette)
+
+        q_img, _, _ = eval_augment(batch["image"], batch["mask"], batch["nodata"], conf.inpt_size)
+        idx = batch["crop_idx"].astype(jnp.int32)
+        p_img = jnp.take(prompt_pixels, idx, axis=0)
+        p_mask = jnp.take(prompt_masks, idx, axis=0)
+        p_nod = jnp.take(prompt_nodata, idx, axis=0)
+        p_img_aug, p_mask_aug, _ = eval_augment(p_img, p_mask, p_nod, conf.inpt_size)
+        p_color = normalize_imagenet(apply_palette(palette, p_mask_aug))
+
+        out = self.model.apply(
+            {"params": model_params},
+            pixel_values=q_img,
+            prompt_pixel_values=p_img_aug,
+            prompt_masks=p_color,
+            embedding_type="instance",
+            decode_query_only=True,
+        )
+        return soft_class_probs(out["pred_masks"], palette_norm)

@@ -132,3 +132,26 @@ def test_run_zero_shot_end_to_end(scene_dir, tmp_path_factory):
     # shoreline shapefiles exported when lines exist (random weights may or may
     # not produce them; just check the dir exists)
     assert (out_dir / "lines").exists()
+
+
+def test_run_predict_blend_mode(scene_dir, tmp_path_factory):
+    """Overlap-blend merge: feathered soft probabilities, overlapping crops."""
+    out_root = tmp_path_factory.mktemp("pred_blend")
+    conf = PredictionConfig(
+        data=scene_dir,
+        model_training_root=out_root,
+        crop_size=32,
+        inpt_size=64,
+        batch_size=2,
+        debug=True,
+        checkpoint="random",
+        mesh_data=1,
+        mesh_model=1,
+        merge="blend",
+        overlap=16,
+    )
+    out_dir = run_predict(conf)
+    for date in OTHER_DATES:
+        r = read(out_dir / "tif" / f"{date}.tif")
+        assert r.data.shape[1:] == (96, 128)
+        assert set(np.unique(r.data)) <= {0, 1, 2, 3}
