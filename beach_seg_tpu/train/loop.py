@@ -131,6 +131,7 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
 
         timer = StepTimer()
         global_step = start_epoch * steps_per_epoch
+        best_metric = None
         for epoch in range(start_epoch, conf.epochs):
             train_cm = np.zeros((len(conf.classes),) * 2, np.int64)
             with maybe_trace(conf.profile and epoch == 0, run_dir):
@@ -177,6 +178,26 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
             if viz is not None:
                 mlog.log_image("val_images", viz, epoch)
             save_state(run_dir, jax.device_get(state))
+            # best-checkpoint tracking (the reference's commented-out
+            # ModelCheckpoint on monitor_metric, ref train.py:82-89)
+            val_f1 = float(f1_from_confusion(jnp.asarray(val_cm)))
+            val_loss_mean = float(np.mean(val_losses))
+            monitored = {"val/f1": val_f1, "val/loss": val_loss_mean}.get(conf.monitor_metric, val_f1)
+            better = best_metric is None or (
+                monitored > best_metric if conf.monitor_mode == "max" else monitored < best_metric
+            )
+            if better:
+                best_metric = monitored
+                save_prompt_batch(
+                    run_dir / "prompt_batch_best.npz",
+                    np.asarray(state.prompt_pixels), prompts["masks"], prompts["nodata"],
+                    prompts["crop_idx"], [scene.mask_date] * num_prompts,
+                )
+                import json
+
+                (run_dir / "best.json").write_text(
+                    json.dumps({"epoch": epoch, conf.monitor_metric: monitored})
+                )
             logger.info(
                 "epoch %d: val/f1=%.4f val/loss=%.4f",
                 epoch,

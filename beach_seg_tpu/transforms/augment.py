@@ -49,6 +49,15 @@ class AugmentParams:
     gauss_mean: float = 0.0
     gauss_std: float = 0.1
     gauss_p: float = 0.1
+    # the reference carries knobs for these but ships them commented out
+    # (ref data.py:198-216); implemented here, default-off like the reference
+    channel_shift_limit: float = 0.01
+    channel_shift_p: float = 0.0
+    scale: tuple[float, float] = (0.4, 1.0)
+    resized_crop_p: float = 0.0
+    jigsaw_grid: tuple[int, int] = (2, 2)
+    jigsaw_p: float = 0.0
+    mosaic_p: float = 0.0
 
     @classmethod
     def from_config(cls, conf) -> "AugmentParams":
@@ -66,6 +75,12 @@ class AugmentParams:
             gauss_mean=conf.gauss_mean,
             gauss_std=conf.gauss_std,
             gauss_p=conf.gauss_p,
+            channel_shift_limit=conf.channel_shift_limit,
+            channel_shift_p=conf.channel_shift_p,
+            scale=tuple(conf.scale),
+            jigsaw_grid=tuple(conf.jigsaw_grid),
+            jigsaw_p=conf.jigsaw_p,
+            mosaic_p=conf.mosaic_p,
         )
 
 
@@ -213,13 +228,70 @@ def random_gaussian_noise(key, img: jnp.ndarray, p: AugmentParams) -> jnp.ndarra
     return jnp.where(apply, img + noise, img)
 
 
+def random_channel_shift(key, img: jnp.ndarray, p: AugmentParams) -> jnp.ndarray:
+    """Per-channel additive shift ~ U(-limit, limit) (kornia RandomRGBShift,
+    the reference's commented-out RGBShift, ref data.py:198-200)."""
+    ks, kp = random.split(key)
+    shift = random.uniform(ks, (1, 1, img.shape[-1]), minval=-p.channel_shift_limit, maxval=p.channel_shift_limit)
+    apply = random.bernoulli(kp, float(p.channel_shift_p))
+    return jnp.where(apply, jnp.clip(img + shift, 0.0, 1.0), img)
+
+
+def random_jigsaw(key, img: jnp.ndarray, mask: jnp.ndarray, nodata: jnp.ndarray, p: AugmentParams):
+    """Shuffle a grid of tiles jointly across image/mask/nodata (kornia
+    RandomJigsaw, ref data.py:215). Grid must divide the crop size."""
+    kperm, kp = random.split(key)
+    gh, gw = p.jigsaw_grid
+    h, w = img.shape[:2]
+    th, tw = h // gh, w // gw
+    perm = random.permutation(kperm, gh * gw)
+    apply = random.bernoulli(kp, float(p.jigsaw_p))
+
+    def shuffle(x):
+        c = x.shape[2:] if x.ndim > 2 else ()
+        tiles = x.reshape(gh, th, gw, tw, *c)
+        axes = (0, 2, 1, 3) + tuple(range(4, 4 + len(c)))
+        tiles = tiles.transpose(axes).reshape(gh * gw, th, tw, *c)
+        tiles = jnp.take(tiles, perm, axis=0).reshape(gh, gw, th, tw, *c)
+        back = (0, 2, 1, 3) + tuple(range(4, 4 + len(c)))
+        out = tiles.transpose(back).reshape(h, w, *c)
+        return jnp.where(apply, out, x)
+
+    return shuffle(img), shuffle(mask), shuffle(nodata)
+
+
+def batch_mosaic(key, img: jnp.ndarray, mask: jnp.ndarray, nodata: jnp.ndarray, p: AugmentParams):
+    """2×2 mosaic: quadrants borrowed from 3 other batch samples (kornia
+    RandomMosaic spirit, ref data.py:210-214). Batch-level op."""
+    kperm, kp = random.split(key)
+    b, h, w = img.shape[:3]
+    perms = jnp.stack([random.permutation(random.fold_in(kperm, i), b) for i in range(4)])
+    apply = random.bernoulli(kp, float(p.mosaic_p), (b,))
+
+    def mix(x):
+        h2, w2 = h // 2, w // 2
+        quads = [
+            x[perms[0], :h2, :w2],
+            x[perms[1], :h2, w2:],
+            x[perms[2], h2:, :w2],
+            x[perms[3], h2:, w2:],
+        ]
+        top = jnp.concatenate(quads[:2], axis=2)
+        bot = jnp.concatenate(quads[2:], axis=2)
+        out = jnp.concatenate([top, bot], axis=1)
+        cond = apply.reshape(b, *([1] * (x.ndim - 1)))
+        return jnp.where(cond, out, x)
+
+    return mix(img), mix(mask), mix(nodata)
+
+
 # --------------------------------------------------------------------------
 # pipelines
 # --------------------------------------------------------------------------
 
 
 def _augment_one(key, img, mask, nodata, p: AugmentParams):
-    kv, kh, kc, ks, ke, kn = random.split(key, 6)
+    kv, kh, kc, ks, ke, kn, kcs, kj = random.split(key, 8)
     vflip = random.bernoulli(kv, float(p.vertical_flip))
     hflip = random.bernoulli(kh, float(p.horizontal_flip))
 
@@ -230,6 +302,10 @@ def _augment_one(key, img, mask, nodata, p: AugmentParams):
     mask = flip(flip(mask, 0, vflip), 1, hflip)
     nodata = flip(flip(nodata, 0, vflip), 1, hflip)
 
+    if p.jigsaw_p > 0:
+        img, mask, nodata = random_jigsaw(kj, img, mask, nodata, p)
+    if p.channel_shift_p > 0:
+        img = random_channel_shift(kcs, img, p)
     img = color_jiggle(kc, img, p)
     img = random_sharpness(ks, img, p)
     img = random_erasing(ke, img, p)
@@ -250,9 +326,13 @@ def train_augment(
 
     Returns (normalized image, mask, nodata); vmapped over per-sample keys.
     """
+    kb, key = random.split(key)
+    img = image.astype(jnp.float32)
+    if params.mosaic_p > 0:
+        img, mask, nodata = batch_mosaic(kb, img, mask, nodata, params)
     keys = random.split(key, image.shape[0])
     img, mask, nodata = jax.vmap(_augment_one, in_axes=(0, 0, 0, 0, None))(
-        keys, image.astype(jnp.float32), mask, nodata, params
+        keys, img, mask, nodata, params
     )
     return normalize_imagenet(img, mean, std), mask, nodata
 

@@ -155,3 +155,34 @@ def test_erasing_always_on_zeroes_region(batch):
     raw = np.asarray(denormalize_imagenet(out_img))
     n_zero = (np.abs(raw) < 1e-6).all(axis=-1).sum(axis=(1, 2))
     assert (n_zero >= 0.05 * 32 * 32).all()
+
+
+def test_dormant_augmentations(batch):
+    """Channel shift, jigsaw, mosaic — the reference's commented-out augs
+    (ref data.py:198-216), implemented and default-off."""
+    img, mask, nodata = batch
+    # jigsaw: mask and image tiles move together
+    p = AugmentParams(vertical_flip=0, horizontal_flip=0, hue=0, saturation=0,
+                      contrast=0, brightness=0, sharpness_p=0, erasing_p=0, gauss_p=0,
+                      jigsaw_p=1.0, jigsaw_grid=(2, 2))
+    out_img, out_mask, out_nodata = train_augment(jax.random.PRNGKey(1), img, mask, nodata, p)
+    raw = np.asarray(denormalize_imagenet(out_img))
+    assert sorted(np.asarray(out_mask).ravel().tolist()) == sorted(np.asarray(mask).ravel().tolist())
+    # pixel multiset preserved per sample
+    assert np.allclose(sorted(raw[0].ravel()), sorted(np.asarray(img)[0].ravel()), atol=1e-5)
+
+    # channel shift: bounded additive change
+    p2 = AugmentParams(vertical_flip=0, horizontal_flip=0, hue=0, saturation=0,
+                       contrast=0, brightness=0, sharpness_p=0, erasing_p=0, gauss_p=0,
+                       channel_shift_p=1.0, channel_shift_limit=0.05)
+    out2, m2, _ = train_augment(jax.random.PRNGKey(2), img, mask, nodata, p2)
+    raw2 = np.asarray(denormalize_imagenet(out2))
+    assert np.abs(raw2 - np.asarray(img)).max() <= 0.05 + 1e-5
+    assert np.array_equal(np.asarray(m2), np.asarray(mask))
+
+    # mosaic: quadrants may come from other samples; shapes preserved
+    p3 = AugmentParams(vertical_flip=0, horizontal_flip=0, hue=0, saturation=0,
+                       contrast=0, brightness=0, sharpness_p=0, erasing_p=0, gauss_p=0,
+                       mosaic_p=1.0)
+    out3, m3, n3 = train_augment(jax.random.PRNGKey(3), img, mask, nodata, p3)
+    assert out3.shape == img.shape and m3.shape == mask.shape and n3.shape == nodata.shape
