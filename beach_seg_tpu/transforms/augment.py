@@ -228,6 +228,53 @@ def random_gaussian_noise(key, img: jnp.ndarray, p: AugmentParams) -> jnp.ndarra
     return jnp.where(apply, img + noise, img)
 
 
+def random_resized_crop(key, img: jnp.ndarray, mask: jnp.ndarray, nodata: jnp.ndarray, p: AugmentParams):
+    """Crop a random area fraction ~ U(scale) and resize back to full size
+    (kornia RandomResizedCrop with the config's ``scale`` knob, ref
+    data.py:216). Dynamic crop geometry under jit via scale_and_translate;
+    bilinear for the image, nearest for mask/nodata."""
+    ka, ky, kx, kp = random.split(key, 4)
+    h, w = img.shape[:2]
+    area = random.uniform(ka, (), minval=p.scale[0], maxval=p.scale[1])
+    side = jnp.sqrt(area)  # square aspect: crop side fraction
+    ch = side * h
+    cw = side * w
+    top = random.uniform(ky, ()) * (h - ch)
+    left = random.uniform(kx, ()) * (w - cw)
+    # output pixel i samples source top + (i + 0.5)·(ch/h) - 0.5:
+    # scale_and_translate maps out = scale·in + translation
+    sy = h / ch
+    sx = w / cw
+    ty = -top * sy
+    tx = -left * sx
+
+    def resample_linear(x):
+        x3 = x[..., None].astype(jnp.float32) if x.ndim == 2 else x.astype(jnp.float32)
+        out = jax.image.scale_and_translate(
+            x3, x3.shape, (0, 1),
+            jnp.stack([sy, sx]), jnp.stack([ty, tx]),
+            method="linear",
+        )
+        return out[..., 0] if x.ndim == 2 else out
+
+    def resample_nearest(x):
+        # scale_and_translate has no nearest mode — gather the inverse map:
+        # out pixel center (i+0.5) ← source (i + 0.5 - t)/s - 0.5
+        yi = jnp.clip(jnp.round((jnp.arange(h) + 0.5 - ty) / sy - 0.5).astype(jnp.int32), 0, h - 1)
+        xi = jnp.clip(jnp.round((jnp.arange(w) + 0.5 - tx) / sx - 0.5).astype(jnp.int32), 0, w - 1)
+        return x[yi][:, xi]
+
+    img_c = jnp.clip(resample_linear(img), 0.0, 1.0)
+    mask_c = resample_nearest(mask)
+    nod_c = resample_nearest(nodata)
+    apply = random.bernoulli(kp, float(p.resized_crop_p))
+    return (
+        jnp.where(apply, img_c, img),
+        jnp.where(apply, mask_c, mask),
+        jnp.where(apply, nod_c, nodata),
+    )
+
+
 def random_channel_shift(key, img: jnp.ndarray, p: AugmentParams) -> jnp.ndarray:
     """Per-channel additive shift ~ U(-limit, limit) (kornia RandomRGBShift,
     the reference's commented-out RGBShift, ref data.py:198-200)."""
@@ -304,6 +351,9 @@ def _augment_one(key, img, mask, nodata, p: AugmentParams):
 
     if p.jigsaw_p > 0:
         img, mask, nodata = random_jigsaw(kj, img, mask, nodata, p)
+    if p.resized_crop_p > 0:
+        krc = random.fold_in(key, 99)
+        img, mask, nodata = random_resized_crop(krc, img, mask, nodata, p)
     if p.channel_shift_p > 0:
         img = random_channel_shift(kcs, img, p)
     img = color_jiggle(kc, img, p)

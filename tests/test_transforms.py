@@ -186,3 +186,20 @@ def test_dormant_augmentations(batch):
                        mosaic_p=1.0)
     out3, m3, n3 = train_augment(jax.random.PRNGKey(3), img, mask, nodata, p3)
     assert out3.shape == img.shape and m3.shape == mask.shape and n3.shape == nodata.shape
+
+
+def test_random_resized_crop(batch):
+    img, mask, nodata = batch
+    p = AugmentParams(vertical_flip=0, horizontal_flip=0, hue=0, saturation=0,
+                      contrast=0, brightness=0, sharpness_p=0, erasing_p=0, gauss_p=0,
+                      resized_crop_p=1.0, scale=(0.25, 0.25))
+    out_img, out_mask, out_nodata = train_augment(jax.random.PRNGKey(4), img, mask, nodata, p)
+    assert out_img.shape == img.shape and out_mask.shape == mask.shape
+    raw = np.asarray(denormalize_imagenet(out_img))
+    # a 25%-area crop zoomed 2x: output differs from input but stays in range
+    assert not np.allclose(raw, np.asarray(img), atol=1e-3)
+    assert raw.min() >= -1e-5 and raw.max() <= 1 + 1e-5
+    assert set(np.unique(np.asarray(out_mask))) <= set(np.unique(np.asarray(mask)))
+    # jit-compatible (dynamic scale/translation are traced values)
+    f = jax.jit(lambda k, i, m, n: train_augment(k, i, m, n, p))
+    f(jax.random.PRNGKey(5), img, mask, nodata)
