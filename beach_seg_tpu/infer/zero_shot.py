@@ -88,8 +88,13 @@ def run_zero_shot(conf: PredConfig) -> Path:
         crop_labels.append(cl)
     prompt_pixels = np.stack(prompt_pixels)
     prompt_masks_rgb = np.stack(prompt_masks_rgb)
-    # rank by labeled coverage: fewest non-class-1 pixels first (ref :250)
-    best_crop_idxes = np.argsort([(cl != conf.classes.index(conf.classes[1])).sum() for cl in crop_labels])
+    # Rank prompt candidates by labeled coverage: fewest non-sand pixels first.
+    # NOTE (quirk): the reference writes ``(cl != conf.classes[1]).sum()`` —
+    # comparing a uint8 ARRAY to the STRING "sand" (predict_no_prompt.py:250),
+    # which numpy collapses to a scalar True, making every key equal and the
+    # "ranking" just the original crop order. This implements the evident
+    # intent (rank by class-1 coverage, SURVEY.md §2.8).
+    best_crop_idxes = np.argsort([(cl != 1).sum() for cl in crop_labels])
 
     model, model_cfg = zero_shot_model(conf)
     params = load_model_params(conf.checkpoint, model, model_cfg)
