@@ -99,7 +99,7 @@ def run_legacy(conf: LegacyConfig) -> Path:
 
     groups = group_images_by_date(list((Path(conf.data) / "SatelliteImagery").glob("*/*.tif")))
     groups.pop(scene.mask_date, None)
-    to_run = list(groups.items())
+    to_run = sorted(groups.items())
     if conf.debug:
         to_run = to_run[:1]
 

@@ -116,7 +116,7 @@ def run_zero_shot(conf: PredConfig) -> Path:
         pp = jax.device_put(jnp.asarray(prompt_pixels), replicated(mesh))
         pm = jax.device_put(jnp.asarray(prompt_masks_rgb), replicated(mesh))
 
-        to_run = list(group_images_by_date(
+        to_run = sorted(group_images_by_date(
             list((Path(conf.data) / "SatelliteImagery").glob("*/*.tif"))
         ).items())
         to_run = [(d, p) for d, p in to_run if d != scene.mask_date]
