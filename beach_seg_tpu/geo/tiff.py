@@ -146,6 +146,41 @@ def read(path: Path | str, dtype=None) -> Raster:
         lib.bst_close(h)
 
 
+def read_window(path: Path | str, window: tuple[int, int, int, int], dtype=None) -> Raster:
+    """Windowed read: ``window`` = (x0, y0, width, height) in pixels (must lie
+    inside the image). Only the covering strips/tiles are decoded — the
+    rasterio ``Window`` read path for huge scenes."""
+    lib = _lib()
+    lib.bst_read_window.restype = ctypes.c_int
+    lib.bst_read_window.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+    ]
+    h = lib.bst_open(str(path).encode())
+    if not h:
+        raise OSError(f"cannot open TIFF: {path}")
+    try:
+        info = _BstInfo()
+        lib.bst_info(h, ctypes.byref(info))
+        x0, y0, w, hh = window
+        hwc = np.empty((hh, w, info.channels), _DTYPES[info.dtype])
+        rc = lib.bst_read_window(h, x0, y0, w, hh, hwc.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise OSError(f"TIFF window decode failed ({rc}): {path} {window}")
+        data = np.ascontiguousarray(hwc.transpose(2, 0, 1))
+        if dtype is not None:
+            data = data.astype(dtype)
+        base = Affine.from_tuple(list(info.transform))
+        ox, oy = base.apply(x0, y0)
+        return Raster(
+            data=data,
+            transform=Affine(base.a, base.b, ox, base.d, base.e, oy),
+            crs=epsg_str(info.epsg),
+            nodata=info.nodata if info.has_nodata else None,
+        )
+    finally:
+        lib.bst_close(h)
+
+
 _COMPRESSION = {None: 0, "none": 0, "lzw": 1, "deflate": 2}
 
 

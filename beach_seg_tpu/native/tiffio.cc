@@ -572,6 +572,75 @@ int bst_read(void* h, void* dst_v) {
   return 0;
 }
 
+// Windowed read: decode only the strips/tiles covering
+// [y0, y0+win_h) × [x0, x0+win_w); dst is (win_h, win_w, C) interleaved.
+// The window must lie inside the image.
+int bst_read_window(void* hv, int x0, int y0, int win_w, int win_h, void* dst_v) {
+  Tiff* t = (Tiff*)hv;
+  if (x0 < 0 || y0 < 0 || x0 + win_w > t->width || y0 + win_h > t->height) return -2;
+  uint8_t* dst = (uint8_t*)dst_v;
+  int sz = dtype_size(t->dtype);
+  size_t pix = (size_t)t->samples * sz;
+  size_t out_row_bytes = (size_t)win_w * pix;
+  int planes = t->planar == 2 ? t->samples : 1;
+  int spc = t->planar == 2 ? 1 : t->samples;
+
+  std::vector<uint8_t> chunk;
+  if (t->tile_w > 0) {
+    int tx = (t->width + t->tile_w - 1) / t->tile_w;
+    int ty = (t->height + t->tile_h - 1) / t->tile_h;
+    size_t raw = (size_t)t->tile_w * t->tile_h * spc * sz;
+    int j0 = y0 / t->tile_h, j1 = (y0 + win_h - 1) / t->tile_h;
+    int i0 = x0 / t->tile_w, i1 = (x0 + win_w - 1) / t->tile_w;
+    for (int p = 0; p < planes; p++)
+      for (int j = j0; j <= j1; j++)
+        for (int i = i0; i <= i1; i++) {
+          size_t idx = (size_t)p * tx * ty + (size_t)j * tx + i;
+          if (!decompress_chunk(*t, idx, raw, chunk)) return -1;
+          if (t->predictor == 2) undo_predictor2(chunk.data(), t->tile_h, t->tile_w, spc, t->dtype);
+          swap_chunk(*t, chunk);
+          int ry0 = std::max(y0, j * t->tile_h), ry1 = std::min(y0 + win_h, (j + 1) * t->tile_h);
+          int cx0 = std::max(x0, i * t->tile_w), cx1 = std::min(x0 + win_w, (i + 1) * t->tile_w);
+          for (int r = ry0; r < ry1; r++) {
+            const uint8_t* src_row =
+                chunk.data() + ((size_t)(r - j * t->tile_h) * t->tile_w + (cx0 - i * t->tile_w)) * spc * sz;
+            uint8_t* d = dst + (size_t)(r - y0) * out_row_bytes + (size_t)(cx0 - x0) * pix;
+            if (planes == 1) {
+              memcpy(d, src_row, (size_t)(cx1 - cx0) * pix);
+            } else {
+              for (int c = 0; c < cx1 - cx0; c++)
+                memcpy(d + (size_t)c * pix + (size_t)p * sz, src_row + (size_t)c * sz, sz);
+            }
+          }
+        }
+  } else {
+    int nstrips = (t->height + t->rows_per_strip - 1) / t->rows_per_strip;
+    int s0 = y0 / t->rows_per_strip, s1 = (y0 + win_h - 1) / t->rows_per_strip;
+    for (int p = 0; p < planes; p++)
+      for (int s = s0; s <= s1; s++) {
+        int rows = std::min(t->rows_per_strip, t->height - s * t->rows_per_strip);
+        size_t raw = (size_t)rows * t->width * spc * sz;
+        if (!decompress_chunk(*t, (size_t)p * nstrips + s, raw, chunk)) return -1;
+        if (t->predictor == 2) undo_predictor2(chunk.data(), rows, t->width, spc, t->dtype);
+        swap_chunk(*t, chunk);
+        int ry0 = std::max(y0, s * t->rows_per_strip);
+        int ry1 = std::min(y0 + win_h, s * t->rows_per_strip + rows);
+        for (int r = ry0; r < ry1; r++) {
+          const uint8_t* src_row =
+              chunk.data() + ((size_t)(r - s * t->rows_per_strip) * t->width + x0) * spc * sz;
+          uint8_t* d = dst + (size_t)(r - y0) * out_row_bytes;
+          if (planes == 1) {
+            memcpy(d, src_row, out_row_bytes);
+          } else {
+            for (int c = 0; c < win_w; c++)
+              memcpy(d + (size_t)c * pix + (size_t)p * sz, src_row + (size_t)c * sz, sz);
+          }
+        }
+      }
+  }
+  return 0;
+}
+
 void bst_close(void* h) { delete (Tiff*)h; }
 
 const char* bst_last_error(void* h) { return ((Tiff*)h)->error.c_str(); }
