@@ -52,9 +52,13 @@ def main() -> None:
 
     forward(params, query, prompt_img, prompt_mask).block_until_ready()  # compile
     t0 = time.perf_counter()
+    # accumulate a checksum over every iteration's output so a lazy runtime
+    # cannot elide intermediate executions (each forward feeds the total)
+    checksum = jnp.zeros((), jnp.int32)
     for _ in range(ITERS):
         ids = forward(params, query, prompt_img, prompt_mask)
-    ids.block_until_ready()
+        checksum = checksum + ids.sum(dtype=jnp.int32)
+    checksum.block_until_ready()
     dt = time.perf_counter() - t0
     tiles_per_sec = BATCH * ITERS / dt
 
