@@ -25,8 +25,8 @@ from beach_seg_tpu.models.seggpt.config import SegGPTConfig
 from beach_seg_tpu.models.seggpt.model import SegGPT
 from beach_seg_tpu.transforms import build_palette, decode_by_palette, normalize_palette
 
-BATCH = 8
-ITERS = 20
+BATCH = 32
+ITERS = 8
 
 
 def main() -> None:

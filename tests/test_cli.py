@@ -1,0 +1,53 @@
+"""CLI entry points end-to-end via subprocess on the synthetic scene —
+validates the exact commands a user runs (train → predict → compare)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from tests.synthetic_scene import OTHER_DATES, build_scene
+
+ENV_ARGS = [
+    "crop_size=32", "inpt_size=64", "batch_size=2", "debug=true",
+    "checkpoint=random", "mesh_data=1", "mesh_model=1", "num_viz_images=0",
+]
+
+
+def _run(module: str, *args: str) -> str:
+    cmd = [sys.executable, "-m", module, *args]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, f"{cmd}\nSTDOUT:{out.stdout}\nSTDERR:{out.stderr[-2000:]}"
+    return out.stdout.strip().splitlines()[-1]
+
+
+@pytest.mark.slow
+def test_cli_train_predict_compare(tmp_path_factory):
+    scene = build_scene(tmp_path_factory.mktemp("scene"))
+    runs = tmp_path_factory.mktemp("runs")
+
+    train_dir = Path(_run(
+        "beach_seg_tpu.cli.train",
+        f"data={scene}", f"model_training_root={runs}", "epochs=1", *ENV_ARGS,
+    ))
+    assert (train_dir / "prompt_batch_tuned.npz").exists()
+
+    pred_dir = Path(_run(
+        "beach_seg_tpu.cli.predict",
+        f"data={scene}", f"model_training_root={runs}",
+        f"train_run_dir={train_dir}", *ENV_ARGS,
+    ))
+    for date in OTHER_DATES:
+        assert (pred_dir / "tif" / f"{date}.tif").exists()
+
+    # compare a run against itself → perfect IoU
+    out = subprocess.run(
+        [sys.executable, "-m", "beach_seg_tpu.cli.compare", str(pred_dir / "tif"), str(pred_dir / "tif")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-1000:]
+    report = json.loads(out.stdout)
+    assert report["pixel_agreement"] == 1.0
+    assert report["overall_mean_iou"] == 1.0
