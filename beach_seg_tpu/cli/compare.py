@@ -36,14 +36,24 @@ def compare_dirs(dir_a: Path, dir_b: Path, num_classes: int = 4) -> dict:
         cm = np.asarray(confusion_update(jnp.asarray(b), jnp.asarray(a), num_classes, ignore_index=None))
         total_cm += cm
         iou = np.asarray(iou_from_confusion(jnp.asarray(cm)))
-        per_date[date] = {"iou_per_class": [round(float(v), 6) for v in iou], "mean_iou": round(float(iou.mean()), 6)}
+        present = _present(cm)
+        per_date[date] = {
+            "iou_per_class": [round(float(v), 6) for v in iou],
+            "mean_iou": round(float(iou[present].mean()) if present.any() else 0.0, 6),
+        }
     total_iou = np.asarray(iou_from_confusion(jnp.asarray(total_cm)))
+    present = _present(total_cm)
     return {
         "dates": per_date,
         "overall_iou_per_class": [round(float(v), 6) for v in total_iou],
-        "overall_mean_iou": round(float(total_iou.mean()), 6),
+        "overall_mean_iou": round(float(total_iou[present].mean()) if present.any() else 0.0, 6),
         "pixel_agreement": round(float(np.trace(total_cm) / max(total_cm.sum(), 1)), 6),
     }
+
+
+def _present(cm: np.ndarray) -> np.ndarray:
+    """Classes that appear on either side (standard mIoU excludes absent ones)."""
+    return (cm.sum(axis=0) + cm.sum(axis=1)) > 0
 
 
 def main() -> None:
