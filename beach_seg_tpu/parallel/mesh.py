@@ -70,6 +70,9 @@ _TP_RULES: tuple[tuple[str, ...], ...] = (
     ("lin1_bias", (MODEL_AXIS,)),
     ("proj_kernel", (MODEL_AXIS, None)),
     ("lin2_kernel", (MODEL_AXIS, None)),
+    # decoder embed is the single largest matmul (4096 → p²·64); column-split
+    ("embed_kernel", (None, MODEL_AXIS)),
+    ("embed_bias", (MODEL_AXIS,)),
 )
 
 
