@@ -22,8 +22,6 @@ from pathlib import Path
 from typing import Any, Callable, Iterable, Iterator
 
 
-
-
 def prefetch_iterator(it: Iterable, depth: int = 2) -> Iterator:
     """Background-thread prefetch of any iterator (exceptions re-raised)."""
     q: queue.Queue = queue.Queue(maxsize=depth)
