@@ -85,3 +85,33 @@ def build_scene(root: Path, seed: int = 0) -> Path:
         db = _scene_bands(rng, date_shift=(i + 1) * 3)
         write(img_dir / f"{date}_a.tif", db, t, crs=EPSG, nodata=0)
     return root
+
+
+def build_scene_8band(root: Path, seed: int = 0) -> Path:
+    """SuperDove variant: 8-band imagery (same layout/masks) — exercises the
+    broad_band display path through the full pipeline."""
+    rng = np.random.default_rng(seed)
+    mask_dir = root / "Masks"
+    img_dir = root / "SatelliteImagery" / "files"
+    mask_dir.mkdir(parents=True, exist_ok=True)
+    img_dir.mkdir(parents=True, exist_ok=True)
+
+    water_poly = Polygon(
+        [world(2, WATER_START_ROW), world(W - 2, WATER_START_ROW), world(W - 2, H), world(2, H)]
+    )
+    veg_poly = Polygon([world(2, 0), world(W - 2, 0), world(W - 2, VEG_END_ROW), world(2, VEG_END_ROW)])
+    save_shapefile([water_poly], mask_dir / f"WaterMask_{MASK_DATE}.shp", crs=EPSG)
+    save_shapefile([veg_poly], mask_dir / f"Mask_{MASK_DATE}.shp", crs=EPSG)
+
+    t = transform()
+    rows = np.arange(H)[:, None]
+    for date, shift in [(MASK_DATE, 0), (OTHER_DATES[0], 3)]:
+        water = rows >= WATER_START_ROW + shift
+        veg = rows < VEG_END_ROW
+        sand = ~water & ~veg
+        img = np.empty((8, H, W), np.uint16)
+        for b in range(8):
+            base = np.where(water, 400 + 60 * b, 0) + np.where(sand, 2000 + 150 * b, 0) + np.where(veg, 1000 + 90 * b, 0)
+            img[b] = np.clip(base + rng.integers(0, 100, (H, W)), 1, 65535)
+        write(img_dir / f"{date}_a.tif", img, t, crs=EPSG, nodata=0)
+    return root

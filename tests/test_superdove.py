@@ -38,3 +38,28 @@ def test_false_color_4band():
     nodata = np.zeros((10, 10), bool)
     out = false_color_log(bands, nodata)
     assert out.shape == (10, 10, 3)
+
+
+def test_superdove_scene_end_to_end(tmp_path_factory):
+    """8-band SuperDove scene through geo setup + zero-shot inference
+    (BASELINE.json config #5: multi-class segmentation on 8-band imagery)."""
+    from beach_seg_tpu.config import PredConfig
+    from beach_seg_tpu.data.dataset import create_scene
+    from beach_seg_tpu.geo.tiff import read
+    from beach_seg_tpu.infer.zero_shot import run_zero_shot
+    from tests.synthetic_scene import H, MASK_DATE, OTHER_DATES, W, build_scene_8band
+
+    scene_dir = build_scene_8band(tmp_path_factory.mktemp("sd"))
+    out_root = tmp_path_factory.mktemp("sd_out")
+    conf = PredConfig(
+        data=scene_dir, model_training_root=out_root, prediction_root=out_root,
+        zero_shot_crop_size=48, n_prompts=2, batch_size=2, debug=True,
+        checkpoint="random", mesh_data=1, mesh_model=1,
+    )
+    # geo setup consumes 8 bands → broad_band display RGB
+    scene = create_scene(conf, train=True)
+    img, nodata = scene.date_merged_imgs[MASK_DATE]
+    assert img.shape == (H, W, 3) and img.dtype == np.uint8
+    out_dir = run_zero_shot(conf)
+    r = read(out_dir / "tif" / f"{OTHER_DATES[0]}.tif")
+    assert set(np.unique(r.data)) <= {0, 1, 2, 3}
