@@ -284,7 +284,7 @@ class PromptTuner:
 
     # -------------------------------------------------------------- predict
 
-    @partial(jax.jit, static_argnums=(0, 6))
+    @partial(jax.jit, static_argnums=(0, 7))
     def predict_step(
         self,
         prompt_pixels,

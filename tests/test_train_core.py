@@ -163,3 +163,15 @@ def test_train_step_sharded_on_mesh(tiny_setup):
     assert np.isfinite(float(metrics["loss"]))
     assert metrics["confusion"].shape == (4, 4)
     assert not np.allclose(np.asarray(state2.prompt_pixels), np.asarray(pixels))
+
+
+def test_predict_step_random_palette_path(tiny_setup):
+    """painter_palette=False mimics the reference's random palette at predict
+    time (src/model.py:134 quirk); decode is self-consistent either way."""
+    tuner, params, pixels, pmasks, pnodata, batch = tiny_setup
+    pred_painter = tuner.predict_step(pixels, params, pmasks, pnodata, batch)
+    pred_random = tuner.predict_step(
+        pixels, params, pmasks, pnodata, batch, jax.random.PRNGKey(9), False
+    )
+    assert pred_random.shape == pred_painter.shape
+    assert set(np.unique(np.asarray(pred_random))) <= {0, 1, 2, 3}
