@@ -40,7 +40,9 @@ int bst_rasterize(const double* pts, const int32_t* ring_sizes, int n_rings,
   }
   if (edges.empty()) return 0;
 
-  // bucket edges by the rows they span (y half-open [min, max))
+  // Active-edge-table sweep: bucket each edge at its first active row, keep a
+  // live set while sweeping, lazily evicting expired edges — O(E + R + X)
+  // instead of O(R·E) for production-size masks.
   double ymin_all = 1e300, ymax_all = -1e300;
   for (auto& e : edges) {
     ymin_all = std::min(ymin_all, std::min(e.y0, e.y1));
@@ -48,17 +50,33 @@ int bst_rasterize(const double* pts, const int32_t* ring_sizes, int n_rings,
   }
   int r0 = std::max(0, (int)std::floor(ymin_all - 0.5));
   int r1 = std::min(height - 1, (int)std::ceil(ymax_all));
+  if (r1 < r0) return 0;
 
+  std::vector<std::vector<int>> starts(r1 - r0 + 1);
+  for (int i = 0; i < (int)edges.size(); i++) {
+    double lo = std::min(edges[i].y0, edges[i].y1);
+    // first row whose center y = row + 0.5 satisfies lo <= y
+    int first = std::max(r0, (int)std::ceil(lo - 0.5));
+    if (first <= r1) starts[first - r0].push_back(i);
+  }
+
+  std::vector<int> active;
   std::vector<double> xs;
   for (int row = r0; row <= r1; row++) {
     double y = row + 0.5;
+    for (int i : starts[row - r0]) active.push_back(i);
     xs.clear();
-    for (auto& e : edges) {
+    size_t keep = 0;
+    for (size_t a = 0; a < active.size(); a++) {
+      const Edge& e = edges[active[a]];
       double lo = std::min(e.y0, e.y1), hi = std::max(e.y0, e.y1);
-      if (!(lo <= y && y < hi)) continue;
+      if (y >= hi) continue;  // expired — evict
+      active[keep++] = active[a];
+      if (y < lo) continue;  // not yet active at this center (sub-row edge)
       double t = (y - e.y0) / (e.y1 - e.y0);
       xs.push_back(e.x0 + t * (e.x1 - e.x0));
     }
+    active.resize(keep);
     if (xs.empty()) continue;
     std::sort(xs.begin(), xs.end());
     // even-odd fill between crossing pairs: centers c+0.5 in [xs[i], xs[i+1])
