@@ -34,7 +34,7 @@ from beach_seg_tpu.models.seggpt.load import load_model_params
 from beach_seg_tpu.models.seggpt.model import SegGPT
 from beach_seg_tpu.geo.display import overlay_prediction
 from beach_seg_tpu.geo.extent import group_images_by_date
-from beach_seg_tpu.parallel.mesh import make_mesh, param_sharding, replicated
+from beach_seg_tpu.parallel.mesh import batch_sharding, make_mesh, param_sharding, replicated
 from beach_seg_tpu.utils.logging import allocate_run_dir, setup_logger
 from PIL import Image
 
@@ -147,10 +147,13 @@ def run_zero_shot(conf: PredConfig) -> Path:
                     if n < q_batch:
                         queries = np.concatenate([queries, np.repeat(queries[-1:], q_batch - n, 0)])
                         sel = np.concatenate([sel, np.repeat(sel[-1:], q_batch - n, 0)])
-                    sel_j = jnp.asarray(sel)
+                    # query axis shards over the mesh data axis (one ensemble
+                    # per device slot); prompt gathers happen on device
+                    bs = batch_sharding(mesh)
+                    sel_j = jax.device_put(jnp.asarray(sel), bs)
                     canvases = batched(
                         params,
-                        jnp.asarray(queries),
+                        jax.device_put(jnp.asarray(queries), bs),
                         jnp.take(pp, sel_j, axis=0),
                         jnp.take(pm, sel_j, axis=0),
                     )

@@ -155,3 +155,22 @@ def test_run_predict_blend_mode(scene_dir, tmp_path_factory):
         r = read(out_dir / "tif" / f"{date}.tif")
         assert r.data.shape[1:] == (96, 128)
         assert set(np.unique(r.data)) <= {0, 1, 2, 3}
+
+
+def test_run_zero_shot_sharded_mesh(scene_dir, tmp_path_factory):
+    """Zero-shot query batch sharded over a 2-device data axis."""
+    out_root = tmp_path_factory.mktemp("zs_mesh")
+    conf = PredConfig(
+        data=scene_dir,
+        model_training_root=out_root,
+        prediction_root=out_root,
+        zero_shot_crop_size=48,
+        n_prompts=2,
+        batch_size=2,
+        debug=True,
+        checkpoint="random",
+        mesh_data=2,
+        mesh_model=1,
+    )
+    out_dir = run_zero_shot(conf)
+    assert any((out_dir / "tif").glob("*.tif"))
