@@ -7,6 +7,7 @@ sources; rebuilds automatically when a source file is newer than the binary.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 
@@ -35,7 +36,12 @@ def build() -> Path:
 
 
 def load() -> ctypes.CDLL:
+    """Load (building if stale). Set BEACH_SEG_TPU_NO_NATIVE=1 to force the
+    NumPy fallbacks in geo/rasterize.py and geo/contours.py (the TIFF codec
+    has no fallback and always requires the native library)."""
     global _handle
+    if os.environ.get("BEACH_SEG_TPU_NO_NATIVE"):
+        raise RuntimeError("native library disabled via BEACH_SEG_TPU_NO_NATIVE")
     if _handle is None:
         if _needs_build():
             build()
