@@ -357,19 +357,26 @@ def seggpt_loss(
     pred_masks: jnp.ndarray,
     labels: jnp.ndarray,
     bool_masked_pos: jnp.ndarray,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Smooth-L1 on masked patches (HF SegGptLoss :804-843). NHWC."""
+    """Smooth-L1 on masked patches (HF SegGptLoss :804-843). NHWC.
+
+    ``sample_weight`` (B,) optionally down-weights rows — used by the trainer
+    to zero padded batch rows so they contribute nothing to loss/gradients.
+    """
     ground_truth = jnp.concatenate([prompt_masks, labels], axis=1)
     b, h2, w, c = ground_truth.shape
     p = config.patch_size
     gh, gw = h2 // p, w // p
     mask = bool_masked_pos.reshape(b, gh, gw, 1, 1, 1).astype(jnp.float32)
     mask = jnp.broadcast_to(mask, (b, gh, gw, p, p, c)).transpose(0, 1, 3, 2, 4, 5).reshape(b, h2, w, c)
+    if sample_weight is not None:
+        mask = mask * sample_weight.astype(jnp.float32).reshape(b, 1, 1, 1)
     diff = (pred_masks - ground_truth).astype(jnp.float32)
     beta = config.beta
     l1 = jnp.abs(diff)
     loss = jnp.where(l1 < beta, 0.5 * diff * diff / beta, l1 - 0.5 * beta)
-    return (loss * mask).sum() / mask.sum()
+    return (loss * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
 class SegGPT(nn.Module):

@@ -123,10 +123,11 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
         bs = batch_sharding(mesh)
 
         def put(batch):
+            # "valid" rides along so train/eval steps can zero padded rows
             return {
                 k: jax.device_put(jnp.asarray(v), bs)
                 for k, v in batch.items()
-                if k not in ("date", "valid")
+                if k != "date"
             }
 
         timer = StepTimer()

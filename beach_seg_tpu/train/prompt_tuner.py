@@ -99,13 +99,17 @@ def dice_bce_loss(
     labels: jnp.ndarray,
     yesdata: jnp.ndarray,
     num_classes: int,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dice + BCE on soft class probabilities (the segmentation-standard
     objective named in BASELINE.json; the reference itself trains smooth-L1).
-    labels: (B, H, W) int ids; masked to yesdata pixels."""
+    labels: (B, H, W) int ids; masked to yesdata pixels. ``sample_weight``
+    (B,) zeroes padded rows from both terms (incl. the per-sample dice mean)."""
     probs = soft_class_probs(pred_masks, palette_norm)
     onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
     keep = yesdata.astype(jnp.float32)[..., None]
+    if sample_weight is not None:
+        keep = keep * sample_weight.astype(jnp.float32)[:, None, None, None]
     eps = 1e-6
     probs_c = jnp.clip(probs, eps, 1 - eps)
     bce = -(onehot * jnp.log(probs_c) + (1 - onehot) * jnp.log(1 - probs_c))
@@ -113,6 +117,9 @@ def dice_bce_loss(
     inter = (probs * onehot * keep).sum(axis=(1, 2))
     denom = ((probs + onehot) * keep).sum(axis=(1, 2))
     dice = 1.0 - (2 * inter + eps) / (denom + eps)
+    if sample_weight is not None:
+        w = sample_weight.astype(jnp.float32)
+        return bce + (dice.mean(axis=-1) * w).sum() / jnp.maximum(w.sum(), 1.0)
     return bce + dice.mean()
 
 
@@ -192,6 +199,7 @@ class PromptTuner:
         """One fused prompt-tuning step (ref src/model.py:233-269)."""
         conf = self.conf
         b = batch["image"].shape[0]
+        valid = batch.get("valid")  # (B,) bool — absent means all rows real
         k_pal, k_idx, k_aug_q, k_aug_p, k_dp, k_pdrop = jax.random.split(key, 6)
 
         palette = random_palette(k_pal, self.num_classes, b)
@@ -201,6 +209,12 @@ class PromptTuner:
         q_img, q_mask, q_nodata = train_augment(
             k_aug_q, batch["image"], batch["mask"], batch["nodata"], self.aug
         )
+        if valid is not None:
+            # padded batch rows: force the whole row to nodata (class 0) so it
+            # drops out of the loss numerator+denominator AND the confusion
+            # update (ignore_index=0) — padding must not pollute gradients or
+            # metrics (per-sample semantics, ref src/model.py:233-308)
+            q_mask = jnp.where(valid[:, None, None], q_mask, 0)
         labels_color = normalize_imagenet(apply_palette(palette, q_mask))
         prompt_idx = jax.random.randint(k_idx, (b,), 0, self.num_prompts)
 
@@ -226,10 +240,22 @@ class PromptTuner:
                 decode_query_only=True,
             )
             if conf.loss_variant == "hf":
-                loss = out["loss"]  # SegGPT internal loss (legacy trainer)
+                if valid is None:
+                    loss = out["loss"]  # SegGPT internal loss (legacy trainer)
+                else:
+                    from beach_seg_tpu.models.seggpt.model import (
+                        default_bool_masked_pos,
+                        seggpt_loss,
+                    )
+
+                    loss = seggpt_loss(
+                        self.model.config, p_color, out["pred_masks"], labels_color,
+                        default_bool_masked_pos(self.model.config, b), sample_weight=valid,
+                    )
             elif conf.loss_variant == "dice_bce":
                 loss = dice_bce_loss(
-                    out["pred_masks"], palette_norm, q_mask, q_mask != 0, self.num_classes
+                    out["pred_masks"], palette_norm, q_mask, q_mask != 0,
+                    self.num_classes, sample_weight=valid,
                 )
             else:
                 loss = prompt_tune_loss(out["pred_masks"], labels_color, q_mask != 0, conf.loss_beta)
@@ -254,10 +280,14 @@ class PromptTuner:
         (ref src/model.py:271-308)."""
         conf = self.conf
         b = batch["image"].shape[0]
+        valid = batch.get("valid")
         palette = random_palette(key, self.num_classes, b)
         palette_norm = normalize_palette(palette)
 
         q_img, q_mask, _ = eval_augment(batch["image"], batch["mask"], batch["nodata"], conf.inpt_size)
+        if valid is not None:
+            # padded rows → all-nodata: excluded from loss and confusion
+            q_mask = jnp.where(valid[:, None, None], q_mask, 0)
         labels_color = normalize_imagenet(apply_palette(palette, q_mask))
 
         idx = batch["crop_idx"].astype(jnp.int32)
