@@ -110,11 +110,19 @@ class BeachSegConfig:
     # prompt pixels for a step (ref src/old/train.py:141-143); 0 = off.
     prompt_dropout: float = 0.0
     # training loss: "nodata" = the reference's nodata-masked smooth-L1
-    # (src/model.py:40-64); "hf" = SegGPT's internal masked-patch loss, used
+    # (src/model.py:40-64, intended B>1 semantics); "nodata_ref" = bug-for-bug
+    # port INCLUDING the unsqueeze(1) broadcast at src/model.py:61 that mixes
+    # samples pairwise when B>1 (identical to "nodata" at the reference's only
+    # used batch size, B=1); "hf" = SegGPT's internal masked-patch loss, used
     # by the legacy trainer (src/old/train.py:163); "dice_bce" = Dice+BCE on
     # soft palette-decoded class probabilities (segmentation-standard
     # objective; BASELINE.json config #2).
     loss_variant: str = "nodata"
+    # reproduce the reference's accidental epoch multiplier: Trainer
+    # max_epochs = conf.epochs * len(prompt_batch) where prompt_batch is a
+    # DICT with 5 keys (src/train.py:98) — so the reference actually trains
+    # 5× the configured epochs while the cosine period stays conf.epochs.
+    epochs_compat: bool = False
     # backbone preset: "large" = ViT-L (BAAI/seggpt-vit-large topology);
     # "huge" = ViT-H-class scale-up for 8-band SuperDove work
     # (BASELINE.json config #5) — shard over the mesh model axis via TP.
@@ -132,6 +140,10 @@ class PredictionConfig(BeachSegConfig):
     # (predict.py:120-157); "blend" = feathered soft-probability blending
     # (overlap-blend mosaic; smoother seams on overlapping crops)
     merge: str = "vote"
+    # predict from the EMA-smoothed prompt export (prompt_batch_ema.npz)
+    # instead of the raw tuned pixels — the reference's legacy trainer saves
+    # EMA-smoothed prompts (src/old/train.py:168,255-258)
+    use_ema: bool = False
     # reference CLI alias (src/predict.py:33): path to a train run's conf.yaml;
     # equivalent to train_run_dir=<its parent>
     config_path: Path | None = None
@@ -164,6 +176,12 @@ class PredConfig(BeachSegConfig):
     n_prompts: int = 2
     zero_shot_crop_size: int = 336
     feature_ensemble: bool = True
+    # bug-for-bug prompt "ranking": the reference compares a uint8 ARRAY to
+    # the STRING "sand" (predict_no_prompt.py:250), which numpy collapses to
+    # one scalar — every sort key is equal, so prompts are taken in original
+    # crop order. True reproduces that (required for mask-level parity with
+    # the reference); False ranks by labeled class-1 coverage (the intent).
+    rank_compat: bool = False
     # reference CLI alias (src/predict_no_prompt.py:39)
     results_dir: Path | None = None
 

@@ -59,9 +59,15 @@ def run_legacy(conf: LegacyConfig) -> Path:
     num_classes = len(conf.classes)
     size = 448
 
-    # prompts: tuned export if given, else reference-date crops
+    # prompts: tuned export if given, else reference-date crops. A train-run
+    # DIRECTORY prefers the EMA export — the reference's legacy trainer saves
+    # EMA-smoothed prompt pixels (src/old/train.py:168,255-258).
     if conf.prompt_ckpt is not None:
-        pb = load_prompt_batch(Path(conf.prompt_ckpt))
+        ckpt = Path(conf.prompt_ckpt)
+        if ckpt.is_dir():
+            ema = ckpt / "prompt_batch_ema.npz"
+            ckpt = ema if ema.exists() else ckpt / "prompt_batch_tuned.npz"
+        pb = load_prompt_batch(ckpt)
         prompt_pixels = np.asarray(
             (np.clip(pb["image"], 0, 1) * 255).astype(np.uint8), np.uint8
         )

@@ -91,8 +91,9 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
         feather = (np.outer(ramp, ramp) + 1e-3)[..., None].astype(np.float32)
 
     if pred_conf.train_run_dir is not None:
-        pb = load_prompt_batch(Path(pred_conf.train_run_dir) / "prompt_batch_tuned.npz")
-        logger.info("loaded tuned prompts from %s", pred_conf.train_run_dir)
+        name = "prompt_batch_ema.npz" if pred_conf.use_ema else "prompt_batch_tuned.npz"
+        pb = load_prompt_batch(Path(pred_conf.train_run_dir) / name)
+        logger.info("loaded %s prompts from %s", "EMA" if pred_conf.use_ema else "tuned", pred_conf.train_run_dir)
     else:
         prompts = materialize_prompts(train_scene, conf)
         pb = {

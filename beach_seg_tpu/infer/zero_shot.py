@@ -41,6 +41,22 @@ from PIL import Image
 logger = logging.getLogger(__name__)
 
 
+def rank_prompt_crops(crop_labels: list[np.ndarray], rank_compat: bool) -> np.ndarray:
+    """Order prompt candidates "best" first.
+
+    ``rank_compat=False``: rank by labeled class-1 ("sand") coverage — fewest
+    non-sand pixels first — the evident INTENT of the reference's sort key.
+    ``rank_compat=True``: reproduce the reference's actual behavior
+    (predict_no_prompt.py:250): ``(cl != conf.classes[1]).sum()`` compares a
+    uint8 array to the string "sand", which numpy collapses to one scalar, so
+    every key ties and the stable argsort returns the original crop order.
+    Required to match the reference's output masks bit-for-bit.
+    """
+    if rank_compat:
+        return np.arange(len(crop_labels))
+    return np.argsort([(cl != 1).sum() for cl in crop_labels])
+
+
 def zero_shot_model(conf: PredConfig) -> tuple[SegGPT, SegGPTConfig]:
     inpt = 448  # the HF processor always resizes to the pretrain canvas
     if conf.debug:
@@ -94,7 +110,7 @@ def run_zero_shot(conf: PredConfig) -> Path:
     # which numpy collapses to a scalar True, making every key equal and the
     # "ranking" just the original crop order. This implements the evident
     # intent (rank by class-1 coverage, SURVEY.md §2.8).
-    best_crop_idxes = np.argsort([(cl != 1).sum() for cl in crop_labels])
+    best_crop_idxes = rank_prompt_crops(crop_labels, conf.rank_compat)
 
     model, model_cfg = zero_shot_model(conf)
     params = load_model_params(conf.checkpoint, model, model_cfg)

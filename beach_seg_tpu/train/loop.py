@@ -72,6 +72,16 @@ def model_for_config(conf: BeachSegConfig) -> tuple[SegGPT, SegGPTConfig]:
 def run_training(conf: BeachSegConfig, scene=None) -> Path:
     if conf.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if conf.precision != "32-true":
+        logger.warning(
+            "precision=%r is a Lightning-compat no-op here; set compute_dtype "
+            "(currently %r) to control the TPU matmul dtype", conf.precision, conf.compute_dtype,
+        )
+    if conf.deterministic:
+        logger.warning(
+            "deterministic=true is a no-op: XLA/TPU programs are already "
+            "deterministic for a fixed seed, data order, and compilation"
+        )
     run_dir = allocate_run_dir(Path(conf.model_training_root), conf.project, "train", jax.process_index())
     setup_logger(run_dir, rank=jax.process_index())
     logger.info("run dir: %s", run_dir)
@@ -133,7 +143,11 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
         timer = StepTimer()
         global_step = start_epoch * steps_per_epoch
         best_metric = None
-        for epoch in range(start_epoch, conf.epochs):
+        # epochs_compat: the reference's Trainer trains epochs × 5 (len() of
+        # the prompt_batch DICT, src/train.py:98) while the cosine period
+        # stays conf.epochs — lr_schedule already uses conf.epochs.
+        total_epochs = conf.epochs * 5 if conf.epochs_compat else conf.epochs
+        for epoch in range(start_epoch, total_epochs):
             train_cm = np.zeros((len(conf.classes),) * 2, np.int64)
             with maybe_trace(conf.profile and epoch == 0, run_dir):
                 batches = prefetch_iterator(
@@ -210,6 +224,13 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
         save_prompt_batch(
             run_dir / "prompt_batch_tuned.npz",
             np.asarray(state.prompt_pixels), prompts["masks"], prompts["nodata"],
+            prompts["crop_idx"], [scene.mask_date] * num_prompts,
+        )
+        # EMA-smoothed export — what the reference's legacy trainer saves
+        # (src/old/train.py:168,255-258); consumed by predict use_ema=true
+        save_prompt_batch(
+            run_dir / "prompt_batch_ema.npz",
+            np.asarray(state.ema_pixels), prompts["masks"], prompts["nodata"],
             prompts["crop_idx"], [scene.mask_date] * num_prompts,
         )
         mlog.close()

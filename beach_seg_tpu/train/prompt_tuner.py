@@ -78,6 +78,35 @@ def prompt_tune_loss(
     return (loss * keep).sum() / jnp.maximum(denom, 1.0)
 
 
+def prompt_tune_loss_ref_compat(
+    pred_masks: jnp.ndarray,
+    labels: jnp.ndarray,
+    yesdata: jnp.ndarray,
+    beta: float,
+    sample_weight: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Bug-for-bug port of the reference's SegGptLoss INCLUDING the
+    ``unsqueeze(1)`` broadcast at src/model.py:61: at B>1 the (B,…) loss and
+    (B,1,…) keep mask broadcast to (B,B,…), summing every (sample_i loss ×
+    sample_j keep) pair before dividing by keep.sum(). Identical to
+    :func:`prompt_tune_loss` at B=1 — the only batch size the reference runs.
+    ``sample_weight`` zeroes padded rows on BOTH sides of the pair product.
+    """
+    h = pred_masks.shape[1] // 2
+    query = pred_masks[:, h:].astype(jnp.float32)
+    diff = query - labels.astype(jnp.float32)
+    l1 = jnp.abs(diff)
+    loss = jnp.where(l1 < beta, 0.5 * diff * diff / beta, l1 - 0.5 * beta)
+    keep = jnp.broadcast_to(yesdata.astype(jnp.float32)[..., None], loss.shape)
+    if sample_weight is not None:
+        w = sample_weight.astype(jnp.float32)[:, None, None, None]
+        loss = loss * w
+        keep = keep * w
+    # pairwise sum: Σ_ij Σ_hwc loss[i]·keep[j]  (the torch broadcast, fused)
+    pair = jnp.einsum("ihwc,jhwc->", loss, keep)
+    return pair / jnp.maximum(keep.sum(), 1.0)
+
+
 def soft_class_probs(pred_masks: jnp.ndarray, palette_norm: jnp.ndarray, tau: float = 0.05) -> jnp.ndarray:
     """Differentiable class probabilities from the painted query half:
     softmax over negative squared palette distances (the soft version of the
@@ -256,6 +285,11 @@ class PromptTuner:
                 loss = dice_bce_loss(
                     out["pred_masks"], palette_norm, q_mask, q_mask != 0,
                     self.num_classes, sample_weight=valid,
+                )
+            elif conf.loss_variant == "nodata_ref":
+                loss = prompt_tune_loss_ref_compat(
+                    out["pred_masks"], labels_color, q_mask != 0, conf.loss_beta,
+                    sample_weight=valid,
                 )
             else:
                 loss = prompt_tune_loss(out["pred_masks"], labels_color, q_mask != 0, conf.loss_beta)
