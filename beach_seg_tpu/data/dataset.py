@@ -182,12 +182,49 @@ def get_crop_arrays(
     }
 
 
+def get_raw_item(
+    scene: Scene, date: str, crop_idx: int, config: BeachSegConfig
+) -> dict[str, np.ndarray]:
+    """One (date, crop) item at CROP resolution, uint8 — the device-side
+    preprocessing path. The host→device link of the axon tunnel moves fresh
+    data at only a few MB/s, so shipping raw (S, S) uint8 crops (~60× fewer
+    bytes than the resized float tensors) and resizing ON DEVICE
+    (ops.resize.resize_pil_uint8_device, PIL-parity) is what keeps inference
+    compute-bound instead of transfer-bound.
+
+    The unlabeled-crop hack (ref data.py:114-116) is applied at crop
+    resolution — exactly commutative with the nearest upsample, which is a
+    pure source-pixel selection.
+    """
+    img, nodata = scene.date_merged_imgs[date]
+    label = scene.date_masks.get(date)
+    crop = scene.crops[crop_idx]
+    crop_img, crop_nodata, crop_label = crop_tif(crop, img, nodata, label, config.crop_size)
+    if crop_label is None:
+        crop_label = np.zeros(crop_img.shape[:2], np.uint8)
+    crop_nodata = crop_nodata.astype(bool)
+    if not np.all(crop_nodata) and np.all(crop_label == 0):
+        crop_label = crop_label.copy()
+        crop_label[~crop_nodata] = 1
+    return {
+        "crop_idx": np.int32(crop_idx),
+        "date": date,
+        "image_u8": crop_img.astype(np.uint8),  # (S, S, 3)
+        "mask": crop_label.astype(np.int32),  # (S, S)
+        "nodata": crop_nodata,  # (S, S)
+    }
+
+
 @dataclasses.dataclass
 class BeachSegDataset:
-    """Index = (date × crop), with per-item nodata stats (ref data.py:37-127)."""
+    """Index = (date × crop), with per-item nodata stats (ref data.py:37-127).
+
+    ``raw=True`` yields crop-resolution uint8 items (see :func:`get_raw_item`)
+    for device-side preprocessing."""
 
     scene: Scene
     config: BeachSegConfig
+    raw: bool = False
     items: list[dict] = dataclasses.field(default_factory=list)
 
     def __post_init__(self):
@@ -210,7 +247,8 @@ class BeachSegDataset:
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         it = self.items[idx]
-        return get_crop_arrays(self.scene, it["date"], it["crop_idx"], self.config)
+        fn = get_raw_item if self.raw else get_crop_arrays
+        return fn(self.scene, it["date"], it["crop_idx"], self.config)
 
 
 def materialize_prompts(scene: Scene, config: BeachSegConfig) -> dict[str, np.ndarray]:
@@ -227,30 +265,85 @@ def materialize_prompts(scene: Scene, config: BeachSegConfig) -> dict[str, np.nd
     }
 
 
+def _assemble(items: list[dict], n_valid: int, rows: tuple[int, int]) -> dict[str, np.ndarray]:
+    lo, sz = rows
+    out: dict = {"date": [it["date"] for it in items]}
+    for k in items[0]:
+        if k == "date":
+            continue
+        vals = [it[k] for it in items]
+        out[k] = (
+            np.asarray(vals, np.int32) if np.ndim(vals[0]) == 0 else np.stack(vals)
+        )
+    out["valid"] = np.arange(lo, lo + sz) < n_valid
+    return out
+
+
 def iterate_batches(
     dataset: BeachSegDataset,
     batch_size: int,
     shuffle: bool = False,
     seed: int = 0,
     drop_remainder: bool = False,
+    workers: int = 0,
+    prefetch_batches: int = 2,
+    row_slice: tuple[int, int] | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Fixed-shape NHWC batches; ragged tails are padded (repeating the last
-    item) with ``valid`` marking real rows — jit sees one shape only."""
+    item) with ``valid`` marking real rows — jit sees one shape only.
+
+    ``workers > 0`` assembles crops on a thread pool, ``prefetch_batches``
+    batches ahead of the consumer — the TPU analogue of the reference's
+    DataLoader ``num_workers`` (ref /root/reference/src/data.py:267-275,
+    src/config.py:81-91): host resize work (numpy matmuls, releases the GIL)
+    overlaps device steps instead of serializing with them.
+
+    ``row_slice=(start, size)`` emits only that window of every global batch —
+    multi-host training: each process builds ONLY its own rows (same seed ⇒
+    consistent global order across hosts) and ``parallel.mesh.put_batch``
+    assembles the global array shard-by-shard.
+    """
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+
+    batch_idx: list[tuple[np.ndarray, int]] = []
     for start in range(0, len(order), batch_size):
         idx = order[start : start + batch_size]
-        if len(idx) < batch_size:
+        n_valid = len(idx)
+        if n_valid < batch_size:
             if drop_remainder:
-                return
-            idx = np.concatenate([idx, np.repeat(idx[-1:], batch_size - len(idx))])
-        items = [dataset[i] for i in idx]
-        yield {
-            "image": np.stack([it["image"] for it in items]),
-            "mask": np.stack([it["mask"] for it in items]),
-            "nodata": np.stack([it["nodata"] for it in items]),
-            "crop_idx": np.asarray([it["crop_idx"] for it in items], np.int32),
-            "date": [it["date"] for it in items],
-            "valid": np.arange(batch_size) < min(batch_size, len(order) - start),
-        }
+                break
+            idx = np.concatenate([idx, np.repeat(idx[-1:], batch_size - n_valid)])
+        batch_idx.append((idx, n_valid))
+
+    if row_slice is not None:
+        lo, sz = row_slice
+        # per-host window: indices restricted to [lo, lo+sz); "valid" flags
+        # computed against the GLOBAL batch then windowed identically
+        batch_idx = [(idx[lo : lo + sz], n_valid) for idx, n_valid in batch_idx]
+        emit_rows = (lo, sz)
+    else:
+        emit_rows = (0, batch_size)
+
+    if workers <= 0:
+        for idx, n_valid in batch_idx:
+            yield _assemble([dataset[i] for i in idx], n_valid, emit_rows)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        depth = max(1, prefetch_batches)
+        pending = [
+            [pool.submit(dataset.__getitem__, int(i)) for i in idx]
+            for idx, _ in batch_idx[: depth + 1]
+        ]
+        for b, (idx, n_valid) in enumerate(batch_idx):
+            nxt = b + depth + 1
+            if nxt < len(batch_idx):
+                pending.append(
+                    [pool.submit(dataset.__getitem__, int(i)) for i in batch_idx[nxt][0]]
+                )
+            futures = pending.pop(0)
+            yield _assemble([f.result() for f in futures], n_valid, emit_rows)

@@ -32,7 +32,11 @@ from beach_seg_tpu.geo.contours import extract_linestring
 from beach_seg_tpu.geo.masks import crop_tif, safe_assign_crop
 from beach_seg_tpu.geo.mosaic import merge_tifs
 from beach_seg_tpu.infer.accumulator import transform_line
-from beach_seg_tpu.infer.processor import post_process_semantic, preprocess_image, preprocess_mask
+from beach_seg_tpu.infer.processor import (
+    post_process_semantic_device,
+    preprocess_image,
+    preprocess_mask,
+)
 from beach_seg_tpu.infer.zero_shot import zero_shot_model
 from beach_seg_tpu.geo.shapefile import save_shapefile
 from beach_seg_tpu.geo.tiff import write as write_tiff
@@ -99,7 +103,13 @@ def run_legacy(conf: LegacyConfig) -> Path:
         )
         return out["pred_masks"][0]  # first canvas (ref :68)
 
-    batched = jax.jit(jax.vmap(forward, in_axes=(None, 0)))
+    @jax.jit
+    def batched(params, queries):
+        # decode on device — only uint8 ids cross the slow download path
+        canvases = jax.vmap(forward, in_axes=(None, 0))(params, queries)
+        return post_process_semantic_device(
+            canvases, (conf.crop_size, conf.crop_size), num_classes - 1
+        )
 
     from beach_seg_tpu.geo.extent import group_images_by_date
 
@@ -133,10 +143,7 @@ def run_legacy(conf: LegacyConfig) -> Path:
                 chunk = queries[start : start + b]
                 pad = b - len(chunk)
                 batch_q = np.stack(chunk + [chunk[-1]] * pad)
-                canvases = np.asarray(batched(params, jnp.asarray(batch_q)), np.float32)
-                preds = post_process_semantic(
-                    canvases[: len(chunk)], (conf.crop_size, conf.crop_size), num_classes - 1
-                )
+                preds = np.asarray(batched(params, jnp.asarray(batch_q))[: len(chunk)]).astype(np.int32)
                 for (crop, cn), pred in zip(metas[start : start + b], preds):
                     pred = pred.astype(np.uint8)
                     pred[cn.astype(bool)] = 0

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from beach_seg_tpu.config import BeachSegConfig, PredictionConfig
+from beach_seg_tpu.config import BeachSegConfig, PredictionConfig, num_workers
 from beach_seg_tpu.data.dataset import (
     BeachSegDataset,
     create_scene,
@@ -72,6 +72,9 @@ def resolve_config(pred_conf: PredictionConfig) -> BeachSegConfig:
 
 
 def run_predict(pred_conf: PredictionConfig) -> Path:
+    import time
+
+    t_start = time.perf_counter()
     conf = resolve_config(pred_conf)
     root = Path(pred_conf.prediction_root or conf.model_training_root)
     predict_dir = allocate_run_dir(root, conf.project, "predict", jax.process_index())
@@ -128,50 +131,92 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
             train_scene.crs, conf.classes,
             dtype=np.float32 if use_blend else np.int32,
         ) as acc:
-            for date, (merged_img, merged_nodata) in merger:
-                date_scene = dataclasses.replace(
-                    train_scene, date_merged_imgs={date: (merged_img, merged_nodata)}, date_masks={}
-                )
-                dataset = BeachSegDataset(date_scene, conf)
-                for batch in iterate_batches(dataset, conf.batch_size):
-                    if not batch["valid"].any():
+
+            def paste(batch, result):
+                """Host post-step: device→host (already back-resized on
+                device — the axon tunnel moves fresh data at only a few MB/s,
+                so only the small crop-resolution result crosses), vote paste.
+
+                Runs on ONE worker thread (pastes stay ordered) while the main
+                thread keeps dispatching device steps — host work and
+                accumulator writes overlap TPU compute instead of serializing
+                with it.
+
+                Overlay note: the reference pastes the query image after a
+                crop→448→crop resize round-trip (predict.py:258); with raw
+                device-side preprocessing the host never materializes the 448
+                image, so the overlay PNG uses the raw crop — cosmetically
+                identical, masks/GeoTIFFs unaffected.
+                """
+                img_small = np.asarray(batch["image_u8"], np.uint8)
+                if use_blend:
+                    votes = np.asarray(result, np.float32)  # (B, crop, crop, C)
+                    one_hot = votes * feather[None]
+                else:
+                    pred_small = np.asarray(result).astype(np.int32)  # (B, crop, crop)
+                    one_hot = np.eye(len(conf.classes), dtype=np.int32)[pred_small]
+                for i in range(len(one_hot)):
+                    if not batch["valid"][i]:
                         continue
-                    dev_batch = {
-                        k: jax.device_put(jnp.asarray(v), bs)
-                        for k, v in batch.items()
-                        if k not in ("date", "valid")
-                    }
-                    # back to crop_size: image INTER_CUBIC, mask INTER_NEAREST
-                    img_small = np.clip(
-                        _resize_batch(batch["image"], conf.crop_size, "bicubic_cv2") * 255, 0, 255
-                    ).astype(np.uint8)
-                    if use_blend:
-                        # overlap-blend: feathered soft class probabilities
-                        probs = np.asarray(
-                            tuner.predict_step_probs(pixels, params, pmasks, pnodata, dev_batch)
-                        )
-                        votes = np.clip(
-                            _resize_batch(probs, conf.crop_size, "bicubic_cv2"), 0, None
-                        )
-                        one_hot = votes * feather[None]
-                    else:
-                        pred = np.asarray(
-                            tuner.predict_step(pixels, params, pmasks, pnodata, dev_batch)
-                        )
-                        pred_small = np.round(
-                            _resize_batch(pred.astype(np.float32), conf.crop_size, "nearest_cv2")
-                        ).astype(np.int32)
-                        one_hot = np.eye(len(conf.classes), dtype=np.int32)[pred_small]
-                    for i in range(len(one_hot)):
-                        if not batch["valid"][i]:
+                    if batch["nodata"][i].all():  # ref predict.py:235
+                        continue
+                    acc.update(
+                        batch["date"][i],
+                        train_scene.crops[int(batch["crop_idx"][i])],
+                        one_hot[i],
+                        img_crop=img_small[i],
+                    )
+
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            t_setup = time.perf_counter()
+            n_tiles = 0
+            with ThreadPoolExecutor(max_workers=1) as paster:
+                inflight: deque = deque()
+                for date, (merged_img, merged_nodata) in merger:
+                    date_scene = dataclasses.replace(
+                        train_scene, date_merged_imgs={date: (merged_img, merged_nodata)}, date_masks={}
+                    )
+                    dataset = BeachSegDataset(date_scene, conf, raw=True)
+                    for batch in iterate_batches(dataset, conf.batch_size, workers=num_workers(conf)):
+                        if not batch["valid"].any():
                             continue
-                        if batch["nodata"][i].all():  # ref predict.py:235
-                            continue
-                        acc.update(
-                            batch["date"][i],
-                            train_scene.crops[int(batch["crop_idx"][i])],
-                            one_hot[i],
-                            img_crop=img_small[i],
-                        )
-    logger.info("done")
+                        # upload ONLY the raw uint8 crops + indices (~1 MB per
+                        # batch); mask/nodata stay host-side — the tunnel
+                        # moves fresh uploads at a few MB/s
+                        dev_batch = {
+                            k: jax.device_put(jnp.asarray(v), bs)
+                            for k, v in batch.items()
+                            if k in ("image_u8", "crop_idx")
+                        }
+                        if use_blend:
+                            # overlap-blend: feathered soft class probabilities
+                            result = tuner.predict_step_probs(
+                                pixels, params, pmasks, pnodata, dev_batch, conf.crop_size
+                            )
+                        else:
+                            result = tuner.predict_step(
+                                pixels, params, pmasks, pnodata, dev_batch,
+                                out_size=conf.crop_size,
+                            )
+                        inflight.append(paster.submit(paste, batch, result))
+                        n_tiles += int(batch["valid"].sum())
+                        while len(inflight) > 2:
+                            inflight.popleft().result()
+                while inflight:
+                    inflight.popleft().result()
+            t_stream = time.perf_counter()
+
+    # phase timings for benchmarking/observability (read by scripts/bench_e2e.py)
+    import json
+
+    stream_s = t_stream - t_setup
+    (predict_dir / "timings.json").write_text(json.dumps({
+        "setup_s": round(t_setup - t_start, 3),
+        "stream_s": round(stream_s, 3),
+        "tiles": n_tiles,
+        "stream_tiles_per_sec": round(n_tiles / stream_s, 3) if stream_s > 0 else None,
+    }))
+    logger.info("done: %d tiles in %.2fs streaming", n_tiles, stream_s)
     return predict_dir

@@ -34,9 +34,20 @@ def _resize_hwc(img: np.ndarray, out_size: int, method: str) -> np.ndarray:
 def preprocess_image(img: np.ndarray, size: int = 448) -> np.ndarray:
     """(H, W, 3) uint8 → (size, size, 3) float32 normalized (HF preprocess:
     PIL-BICUBIC resize — with PIL's uint8 intermediate — rescale 1/255,
-    ImageNet normalize)."""
+    ImageNet normalize).
+
+    This runs host-side only, so uint8 inputs go through PIL itself —
+    bit-exact with the HF processor (which converts numpy→PIL→numpy) and
+    faster than the matrix fallback. The matrix path stays for float inputs
+    and for environments stripped of PIL."""
     if img.dtype == np.uint8:
-        out = resize_pil_uint8(img, (size, size)).astype(np.float64) / 255.0
+        try:
+            from PIL import Image
+
+            pil = Image.fromarray(img).resize((size, size), Image.BICUBIC)
+            out = np.asarray(pil).astype(np.float64) / 255.0
+        except ImportError:
+            out = resize_pil_uint8(img, (size, size)).astype(np.float64) / 255.0
     else:
         out = _resize_hwc(img, size, "bicubic_pil") / 255.0
     return ((out - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
@@ -49,6 +60,32 @@ def preprocess_mask(mask: np.ndarray, num_labels: int, size: int = 448) -> np.nd
     rgb = palette[mask.astype(np.int64)]  # (H, W, 3)
     out = _resize_hwc(rgb, size, "nearest_pil") / 255.0
     return ((out - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+
+
+def post_process_semantic_device(pred_masks, target_size: tuple[int, int], num_labels: int):
+    """Device-side (jit) twin of :func:`post_process_semantic` — decoding on
+    the TPU shrinks the per-tile download from a float canvas (~4.8 MB) to a
+    uint8 id map (~12 KB); the axon tunnel downloads at ~6 MB/s, so host-side
+    decoding serializes the whole engine on transfers."""
+    import jax
+    import jax.numpy as jnp
+
+    h2 = pred_masks.shape[1]
+    h = h2 // 2
+    masks = pred_masks[:, h:].astype(jnp.float32)
+    masks = masks * jnp.asarray(IMAGENET_STD, jnp.float32) + jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    th, tw = target_size
+    if (th, tw) != masks.shape[1:3]:
+        # nearest matrices are one-hot row selectors → exact gathers
+        idx_h = jnp.asarray(resize_matrix(masks.shape[1], th, "nearest_torch").argmax(1))
+        idx_w = jnp.asarray(resize_matrix(masks.shape[2], tw, "nearest_torch").argmax(1))
+        masks = jnp.take(jnp.take(masks, idx_h, axis=1), idx_w, axis=2)
+    palette = jnp.asarray(build_palette(num_labels), jnp.float32)  # (N, 3)
+    # HF clips the denormalized colors to the palette range BEFORE the
+    # distance argmin (image_processing_seggpt.py: torch.clip(masks*255,0,255))
+    scaled = jnp.clip(masks * 255.0, 0.0, 255.0)
+    dist = ((scaled[..., None, :] - palette) ** 2).sum(-1)
+    return dist.argmin(-1).astype(jnp.uint8)
 
 
 def post_process_semantic(
@@ -68,5 +105,7 @@ def post_process_semantic(
         masks = np.einsum("oh,bhwc->bowc", mh, masks, optimize=True)
         masks = np.einsum("pw,bhwc->bhpc", mw, masks, optimize=True)
     palette = build_palette(num_labels).astype(np.float32)  # raw 0..255 colors
-    dist = ((masks[..., None, :] * 255.0 - palette) ** 2).sum(-1)  # (B,th,tw,N)
+    # HF clips to the palette range before the distance (torch.clip(·,0,255))
+    scaled = np.clip(masks * 255.0, 0.0, 255.0)
+    dist = ((scaled[..., None, :] - palette) ** 2).sum(-1)  # (B,th,tw,N)
     return dist.argmin(-1).astype(np.int32)

@@ -28,7 +28,11 @@ from beach_seg_tpu.data.prefetch import MosaicPrefetcher
 from beach_seg_tpu.geo.masks import crop_tif
 from beach_seg_tpu.geo.mosaic import merge_tifs
 from beach_seg_tpu.infer.accumulator import VoteAccumulator
-from beach_seg_tpu.infer.processor import post_process_semantic, preprocess_image, preprocess_mask
+from beach_seg_tpu.infer.processor import (
+    post_process_semantic_device,
+    preprocess_image,
+    preprocess_mask,
+)
 from beach_seg_tpu.models.seggpt.config import SegGPTConfig
 from beach_seg_tpu.models.seggpt.load import load_model_params
 from beach_seg_tpu.models.seggpt.model import SegGPT
@@ -59,6 +63,15 @@ def rank_prompt_crops(crop_labels: list[np.ndarray], rank_compat: bool) -> np.nd
 
 def zero_shot_model(conf: PredConfig) -> tuple[SegGPT, SegGPTConfig]:
     inpt = 448  # the HF processor always resizes to the pretrain canvas
+    ckpt = Path(str(conf.checkpoint))
+    if ckpt.suffix == ".npz" and ckpt.exists():
+        from beach_seg_tpu.models.seggpt.convert import load_config
+
+        stored = load_config(ckpt)
+        if stored is not None:
+            # converted-checkpoint npz carries its own topology
+            dtype = jnp.bfloat16 if conf.compute_dtype == "bfloat16" else jnp.float32
+            return SegGPT(stored, dtype=dtype), stored
     if conf.debug:
         cfg = SegGPTConfig(
             hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
@@ -125,7 +138,15 @@ def run_zero_shot(conf: PredConfig) -> Path:
         )
         return out["pred_masks"].mean(axis=0)  # (2H, W, 3)
 
-    batched = jax.jit(jax.vmap(ensemble_forward, in_axes=(None, 0, 0, 0)))
+    @jax.jit
+    def batched(params, queries, p_pixels, p_masks):
+        # decode on device: the host download shrinks from a float canvas
+        # (~4.8 MB/tile) to uint8 ids (~0.1 MB/tile) — the axon tunnel
+        # downloads at ~6 MB/s, so host-side decode serializes on transfers
+        canvases = jax.vmap(ensemble_forward, in_axes=(None, 0, 0, 0))(
+            params, queries, p_pixels, p_masks
+        )
+        return post_process_semantic_device(canvases, (crop_size, crop_size), num_classes - 1)
 
     with jax.sharding.set_mesh(mesh):
         params = jax.device_put(params, param_sharding(mesh, params))
@@ -167,15 +188,13 @@ def run_zero_shot(conf: PredConfig) -> Path:
                     # per device slot); prompt gathers happen on device
                     bs = batch_sharding(mesh)
                     sel_j = jax.device_put(jnp.asarray(sel), bs)
-                    canvases = batched(
+                    ids = batched(
                         params,
                         jax.device_put(jnp.asarray(queries), bs),
                         jnp.take(pp, sel_j, axis=0),
                         jnp.take(pm, sel_j, axis=0),
                     )
-                    preds = post_process_semantic(
-                        np.asarray(canvases[:n], np.float32), (crop_size, crop_size), num_classes - 1
-                    )
+                    preds = np.asarray(ids[:n]).astype(np.int32)
                     for (crop_idx, _, _), pred in zip(pending, preds):
                         _, crop_nodata, _ = crop_tif(
                             crops[crop_idx], merged_img, merged_nodata, None, crop_size

@@ -11,6 +11,7 @@ Resolution order for ``checkpoint``:
 
 from __future__ import annotations
 
+import functools as _functools
 import logging
 from pathlib import Path
 
@@ -24,10 +25,19 @@ from beach_seg_tpu.models.seggpt.model import SegGPT
 logger = logging.getLogger(__name__)
 
 
+@_functools.lru_cache(maxsize=8)
+def _jitted_init(model: SegGPT):
+    # flax Modules are frozen dataclasses (hashable): equal models share one
+    # jit wrapper, so repeated init_random calls hit the compile cache instead
+    # of re-tracing (a fresh jax.jit(model.init) per call re-compiles every
+    # time — ~10 s per run_predict invocation)
+    return jax.jit(model.init)
+
+
 def init_random(model: SegGPT, cfg: SegGPTConfig, seed: int = 0):
     h, w = cfg.image_size[0] // 2, cfg.image_size[1]
     zeros = jnp.zeros((1, h, w, 3), jnp.float32)
-    return jax.jit(model.init)(jax.random.PRNGKey(seed), zeros, zeros, zeros)["params"]
+    return _jitted_init(model)(jax.random.PRNGKey(seed), zeros, zeros, zeros)["params"]
 
 
 def _torch_state_dict(local_dir: Path) -> dict:

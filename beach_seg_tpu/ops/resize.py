@@ -81,7 +81,11 @@ def resize_matrix(
         m = _nearest_matrix(in_size, out_size, half_pixel=True)
         m.setflags(write=False)  # cached — guard against caller mutation
         return m
-    if method in ("nearest_floor", "nearest_cv2", "nearest_torch"):
+    if method == "nearest_torch":
+        m = _nearest_matrix(in_size, out_size, half_pixel=False, fp32_scale=True)
+        m.setflags(write=False)
+        return m
+    if method in ("nearest_floor", "nearest_cv2"):
         m = _nearest_matrix(in_size, out_size, half_pixel=False)
         m.setflags(write=False)
         return m
@@ -124,7 +128,9 @@ def resize_matrix(
     return out
 
 
-def _nearest_matrix(in_size: int, out_size: int, half_pixel: bool) -> np.ndarray:
+def _nearest_matrix(
+    in_size: int, out_size: int, half_pixel: bool, fp32_scale: bool = False
+) -> np.ndarray:
     scale = in_size / out_size
     if half_pixel:
         # PIL's ImagingScaleAffine accumulates the source coordinate in a
@@ -135,6 +141,14 @@ def _nearest_matrix(in_size: int, out_size: int, half_pixel: bool) -> np.ndarray
         for i in range(out_size):
             src[i] = int(xo)
             xo += scale
+    elif fp32_scale:
+        # torch F.interpolate(mode="nearest") computes floorf(dst * scale)
+        # with a FLOAT scale (aten nearest_neighbor_compute_source_index):
+        # e.g. 448→48 at dst=27 gives 27·9.3333330f = 251.9999… → 251, where
+        # the f64 product is exactly 252. Reproduce in fp32.
+        src = np.floor(
+            np.arange(out_size, dtype=np.float32) * np.float32(np.float32(in_size) / np.float32(out_size))
+        ).astype(np.int64)
     else:
         src = np.floor(np.arange(out_size, dtype=np.float64) * scale).astype(np.int64)
     src = np.clip(src, 0, in_size - 1)
@@ -186,6 +200,31 @@ def resize_pil_uint8(
     x = np.clip(np.round(x), 0, 255)
     x = np.einsum("oh,hw...->ow...", mh, x)
     return np.clip(np.round(x), 0, 255).astype(np.uint8)
+
+
+def resize_pil_uint8_device(
+    img: jnp.ndarray, out_hw: tuple[int, int], method: str = "bicubic_pil"
+) -> jnp.ndarray:
+    """Device-side (jit) twin of :func:`resize_pil_uint8`: fp32 einsums at
+    HIGHEST precision with PIL's uint8 rounding between the two passes.
+    ≲5e-5 of output pixels differ by ±1 from the f64 host path (fp32 sums
+    landing the other side of a .5 boundary). (…, H, W, C) → (…, h, w, C),
+    float32 in [0, 255]."""
+    h_in, w_in = img.shape[-3], img.shape[-2]
+    mh = jnp.asarray(resize_matrix(h_in, out_hw[0], method), jnp.float32)
+    mw = jnp.asarray(resize_matrix(w_in, out_hw[1], method), jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    x = img.astype(jnp.float32)
+    x = jnp.einsum("pw,...hwc->...hpc", mw, x, precision=hi)
+    x = jnp.clip(jnp.round(x), 0, 255)
+    x = jnp.einsum("oh,...hwc->...owc", mh, x, precision=hi)
+    return jnp.clip(jnp.round(x), 0, 255)
+
+
+def nearest_indices(in_size: int, out_size: int, method: str = "nearest_pil") -> np.ndarray:
+    """Source-index vector of a nearest resize — device resizes become exact
+    ``jnp.take`` gathers (the matrices are one-hot row selectors)."""
+    return resize_matrix(in_size, out_size, method).argmax(1)
 
 
 def resize_1d(x: jnp.ndarray, out_size: int, method: str = "linear_torch", **kw) -> jnp.ndarray:

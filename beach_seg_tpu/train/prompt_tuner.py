@@ -348,7 +348,27 @@ class PromptTuner:
 
     # -------------------------------------------------------------- predict
 
-    @partial(jax.jit, static_argnums=(0, 7))
+    def _query_pixels(self, batch):
+        """Normalized query canvas from either batch flavor.
+
+        ``image_u8`` (B, S, S, 3) uint8 raw crops → PIL-parity resize ON
+        DEVICE + normalize (the raw-upload inference path: ~60× fewer bytes
+        over the slow host→device link). ``image`` (B, inpt, inpt, 3) float
+        → the classic eval path (center-crop identity + normalize)."""
+        conf = self.conf
+        if "image_u8" in batch:
+            q = batch["image_u8"]
+            if q.shape[1] != conf.inpt_size:
+                from beach_seg_tpu.ops.resize import resize_pil_uint8_device
+
+                q = resize_pil_uint8_device(q, (conf.inpt_size, conf.inpt_size))
+            else:
+                q = q.astype(jnp.float32)
+            return normalize_imagenet(q / 255.0)
+        q_img, _, _ = eval_augment(batch["image"], batch["mask"], batch["nodata"], conf.inpt_size)
+        return q_img
+
+    @partial(jax.jit, static_argnums=(0, 7, 8))
     def predict_step(
         self,
         prompt_pixels,
@@ -358,11 +378,16 @@ class PromptTuner:
         batch,
         key: Optional[jax.Array] = None,
         painter_palette: bool = True,
+        out_size: Optional[int] = None,
     ):
         """Inference forward (ref src/model.py:132-147): prompt = own crop
-        index, no labels, palette-distance decode. Returns (B, S, S) ids."""
+        index, no labels, palette-distance decode. Returns (B, S, S) ids —
+        or, with ``out_size``, (B, out, out) uint8 ids back-resized ON DEVICE
+        with the cv2-NEAREST selection gather (the host download of a full
+        int32 canvas is ~25 MB/batch at ~6 MB/s through the axon tunnel and
+        dominates end-to-end inference otherwise)."""
         conf = self.conf
-        b = batch["image"].shape[0]
+        b = batch.get("image", batch.get("image_u8")).shape[0]
         if painter_palette:
             palette = jnp.broadcast_to(
                 jnp.asarray(build_palette(self.num_classes - 1))[None], (b, self.num_classes, 3)
@@ -371,9 +396,7 @@ class PromptTuner:
             palette = random_palette(key, self.num_classes, b)
         palette_norm = normalize_palette(palette)
 
-        q_img, _, _ = eval_augment(
-            batch["image"], batch["mask"], batch["nodata"], conf.inpt_size
-        )
+        q_img = self._query_pixels(batch)
         idx = batch["crop_idx"].astype(jnp.int32)
         p_img = jnp.take(prompt_pixels, idx, axis=0)
         p_mask = jnp.take(prompt_masks, idx, axis=0)
@@ -390,23 +413,34 @@ class PromptTuner:
             decode_query_only=True,
         )
         h = out["pred_masks"].shape[1] // 2
-        return decode_by_palette(out["pred_masks"][:, h:], palette_norm)
+        ids = decode_by_palette(out["pred_masks"][:, h:], palette_norm)
+        if out_size is not None and out_size != ids.shape[1]:
+            from beach_seg_tpu.ops.resize import resize_matrix
+
+            idx = jnp.asarray(resize_matrix(ids.shape[1], out_size, "nearest_cv2").argmax(1))
+            ids = jnp.take(jnp.take(ids, idx, axis=1), idx, axis=2)
+        return ids.astype(jnp.uint8) if out_size is not None else ids
 
     # ------------------------------------------------------- predict (soft)
 
-    @partial(jax.jit, static_argnums=0)
-    def predict_step_probs(self, prompt_pixels, model_params, prompt_masks, prompt_nodata, batch):
+    @partial(jax.jit, static_argnums=(0, 6))
+    def predict_step_probs(
+        self, prompt_pixels, model_params, prompt_masks, prompt_nodata, batch,
+        out_size: Optional[int] = None,
+    ):
         """Like predict_step but returns soft class probabilities
         (B, S, S, C) — the overlap-blend inference mode's input (softmax over
-        negative palette distances instead of the hard argmin)."""
+        negative palette distances instead of the hard argmin). ``out_size``
+        back-resizes on device (cv2-INTER_CUBIC matrices, clipped ≥0) so the
+        host downloads the small probability grid."""
         conf = self.conf
-        b = batch["image"].shape[0]
+        b = batch.get("image", batch.get("image_u8")).shape[0]
         palette = jnp.broadcast_to(
             jnp.asarray(build_palette(self.num_classes - 1))[None], (b, self.num_classes, 3)
         )
         palette_norm = normalize_palette(palette)
 
-        q_img, _, _ = eval_augment(batch["image"], batch["mask"], batch["nodata"], conf.inpt_size)
+        q_img = self._query_pixels(batch)
         idx = batch["crop_idx"].astype(jnp.int32)
         p_img = jnp.take(prompt_pixels, idx, axis=0)
         p_mask = jnp.take(prompt_masks, idx, axis=0)
@@ -422,4 +456,12 @@ class PromptTuner:
             embedding_type="instance",
             decode_query_only=True,
         )
-        return soft_class_probs(out["pred_masks"], palette_norm)
+        probs = soft_class_probs(out["pred_masks"], palette_norm)
+        if out_size is not None and out_size != probs.shape[1]:
+            from beach_seg_tpu.ops.resize import resize_matrix
+
+            m = jnp.asarray(resize_matrix(probs.shape[1], out_size, "bicubic_cv2"), jnp.float32)
+            probs = jnp.einsum("oh,bhwc->bowc", m, probs, precision=jax.lax.Precision.HIGHEST)
+            probs = jnp.einsum("pw,bhwc->bhpc", m, probs, precision=jax.lax.Precision.HIGHEST)
+            probs = jnp.clip(probs, 0, None)
+        return probs

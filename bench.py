@@ -41,7 +41,13 @@ def main() -> None:
     palette_norm = normalize_palette(palette)
 
     @jax.jit
-    def forward(params, query, prompt_img, prompt_mask):
+    def forward(params, query, prompt_img, prompt_mask, salt):
+        # `salt` makes every iteration a DISTINCT computation on distinct
+        # inputs (device-side perturbation — no extra host→device traffic):
+        # the remote runtime may memoize repeated identical executions, so
+        # unique inputs + the per-iteration checksum are both required for an
+        # honest number
+        query = query + salt * 1e-6
         out = model.apply({"params": params}, query, prompt_img, prompt_mask, decode_query_only=True)
         pred = out["pred_masks"]
         return decode_by_palette(pred[:, h:], palette_norm)
@@ -50,13 +56,13 @@ def main() -> None:
     mk = lambda: jnp.asarray(rng.standard_normal((BATCH, h, w, 3)), np.float32)
     query, prompt_img, prompt_mask = mk(), mk(), mk()
 
-    forward(params, query, prompt_img, prompt_mask).block_until_ready()  # compile
+    forward(params, query, prompt_img, prompt_mask, jnp.float32(-1)).block_until_ready()  # compile
     t0 = time.perf_counter()
     # accumulate a checksum over every iteration's output so a lazy runtime
     # cannot elide intermediate executions (each forward feeds the total)
     checksum = jnp.zeros((), jnp.int32)
-    for _ in range(ITERS):
-        ids = forward(params, query, prompt_img, prompt_mask)
+    for i in range(ITERS):
+        ids = forward(params, query, prompt_img, prompt_mask, jnp.float32(i))
         checksum = checksum + ids.sum(dtype=jnp.int32)
     checksum.block_until_ready()
     dt = time.perf_counter() - t0

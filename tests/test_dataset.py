@@ -97,3 +97,22 @@ def test_dataset_and_batches(train_scene, conf):
     # shuffling is deterministic per seed
     b2 = list(iterate_batches(ds, 4, shuffle=True, seed=1))
     assert np.array_equal(batches[0]["crop_idx"], b2[0]["crop_idx"])
+
+
+def test_threaded_batches_match_serial(train_scene, conf):
+    """workers>0 (thread-pool crop assembly) is bit-identical to serial."""
+    ds = BeachSegDataset(train_scene, conf)
+    serial = list(iterate_batches(ds, 3, shuffle=True, seed=7))
+    threaded = list(iterate_batches(ds, 3, shuffle=True, seed=7, workers=4))
+    assert len(serial) == len(threaded)
+    for a, b in zip(serial, threaded):
+        assert a["date"] == b["date"]
+        for k in ("image", "mask", "nodata", "crop_idx", "valid"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_drop_remainder(train_scene, conf):
+    ds = BeachSegDataset(train_scene, conf)
+    kept = list(iterate_batches(ds, 3, drop_remainder=True, workers=2))
+    assert all(b["valid"].all() for b in kept)
+    assert len(kept) == len(ds) // 3
