@@ -55,6 +55,29 @@ def shard_batch(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
+def put_batch(mesh: Mesh, tree: Any) -> Any:
+    """Stage a batch pytree onto the mesh's data axis, multi-host aware.
+
+    Single process: a plain sharded device_put of the full batch. Multi-host
+    (TPU pods): each process passes ONLY ITS OWN rows (see
+    ``distributed.host_batch_slice`` /  ``iterate_batches(row_slice=…)``) and
+    the global array is assembled per-shard via
+    ``jax.make_array_from_process_local_data`` — no host ever materializes or
+    transfers rows it doesn't own (replaces the reference's DDP sampler split,
+    ref /root/reference/src/train.py:97-107).
+    """
+    import numpy as np
+
+    s = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        import jax.numpy as jnp
+
+        return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), s), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)), tree
+    )
+
+
 def pad_to_multiple(n: int, k: int) -> int:
     """Smallest multiple of ``k`` ≥ ``n`` (batches must divide the data axis)."""
     return -(-n // k) * k

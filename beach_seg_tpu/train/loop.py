@@ -22,13 +22,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from beach_seg_tpu.config import BeachSegConfig
+from beach_seg_tpu.config import BeachSegConfig, num_workers
 from beach_seg_tpu.data.dataset import BeachSegDataset, create_scene, iterate_batches, materialize_prompts
 from beach_seg_tpu.data.prefetch import prefetch_iterator
 from beach_seg_tpu.models.seggpt.config import SegGPTConfig
 from beach_seg_tpu.models.seggpt.load import load_model_params
 from beach_seg_tpu.models.seggpt.model import SegGPT
-from beach_seg_tpu.parallel.mesh import batch_sharding, make_mesh, param_sharding, replicated
+from beach_seg_tpu.parallel.distributed import host_batch_slice
+from beach_seg_tpu.parallel.mesh import make_mesh, param_sharding, put_batch, replicated
 from beach_seg_tpu.train.checkpoint import latest_checkpoint, restore_state, save_prompt_batch, save_state
 from beach_seg_tpu.train.loggers import MetricsLogger, example_grid
 from beach_seg_tpu.train.metrics import f1_from_confusion
@@ -130,15 +131,17 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
         mlog = MetricsLogger(run_dir)
         key = jax.random.PRNGKey(conf.seed)
         global_step = 0
-        bs = batch_sharding(mesh)
+
+        # multi-host: each process builds + stages only its own batch rows
+        # (consistent shuffle order via the shared seed), put_batch assembles
+        # the global array shard-by-shard
+        row_slice = None
+        if jax.process_count() > 1:
+            row_slice = host_batch_slice(conf.batch_size)
 
         def put(batch):
             # "valid" rides along so train/eval steps can zero padded rows
-            return {
-                k: jax.device_put(jnp.asarray(v), bs)
-                for k, v in batch.items()
-                if k != "date"
-            }
+            return put_batch(mesh, {k: v for k, v in batch.items() if k != "date"})
 
         timer = StepTimer()
         global_step = start_epoch * steps_per_epoch
@@ -151,7 +154,10 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
             train_cm = np.zeros((len(conf.classes),) * 2, np.int64)
             with maybe_trace(conf.profile and epoch == 0, run_dir):
                 batches = prefetch_iterator(
-                    iterate_batches(dataset, conf.batch_size, shuffle=True, seed=conf.seed + epoch)
+                    iterate_batches(
+                        dataset, conf.batch_size, shuffle=True, seed=conf.seed + epoch,
+                        workers=num_workers(conf), row_slice=row_slice,
+                    )
                 )
                 for batch in batches:
                     key, sub = jax.random.split(key)
@@ -170,7 +176,9 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
             val_cm = np.zeros_like(train_cm)
             val_losses = []
             viz = None
-            for batch in iterate_batches(dataset, conf.batch_size):
+            for batch in iterate_batches(
+                dataset, conf.batch_size, workers=num_workers(conf), row_slice=row_slice
+            ):
                 key, sub = jax.random.split(key)
                 out = tuner.eval_step(state.prompt_pixels, params, pmasks, pnodata, put(batch), sub)
                 val_cm += np.asarray(out["confusion"])
