@@ -107,8 +107,16 @@ def config_from_hf(hf_config) -> SegGPTConfig:
     )
 
 
-def save_params(params: dict, path: Path | str) -> None:
-    """Serialize a params tree to a compressed npz (no pickle)."""
+_CONFIG_KEY = "__config_json__"
+
+
+def save_params(params: dict, path: Path | str, config: SegGPTConfig | None = None) -> None:
+    """Serialize a params tree to a compressed npz (no pickle). When
+    ``config`` is given the topology rides along as a JSON entry, so loaders
+    can rebuild the exact model without out-of-band knowledge."""
+    import dataclasses
+    import json
+
     flat: dict[str, np.ndarray] = {}
 
     def walk(node: dict, prefix: str):
@@ -120,6 +128,10 @@ def save_params(params: dict, path: Path | str) -> None:
                 flat[key] = np.asarray(v)
 
     walk(params, "")
+    if config is not None:
+        flat[_CONFIG_KEY] = np.frombuffer(
+            json.dumps(dataclasses.asdict(config)).encode(), dtype=np.uint8
+        )
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(path, **flat)
 
@@ -128,9 +140,25 @@ def load_params(path: Path | str) -> dict:
     data = np.load(path)
     params: dict = {}
     for key in data.files:
+        if key == _CONFIG_KEY:
+            continue
         node = params
         parts = key.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = data[key]
     return params
+
+
+def load_config(path: Path | str) -> SegGPTConfig | None:
+    """Topology embedded by :func:`save_params`, or None for older files."""
+    import json
+
+    data = np.load(path)
+    if _CONFIG_KEY not in data.files:
+        return None
+    raw = json.loads(bytes(data[_CONFIG_KEY]).decode())
+    for k in ("image_size", "intermediate_hidden_state_indices"):
+        if k in raw and isinstance(raw[k], list):
+            raw[k] = tuple(raw[k])
+    return SegGPTConfig(**raw)

@@ -37,6 +37,7 @@ def make_torch_model(tcfg):
         intermediate_hidden_state_indices=list(tcfg.intermediate_hidden_state_indices),
         drop_path_rate=tcfg.drop_path_rate,
         beta=tcfg.beta,
+        initializer_range=tcfg.initializer_range,
     )
     torch.manual_seed(0)
     model = SegGptForImageSegmentation(hf_cfg).eval()
