@@ -89,6 +89,41 @@ def align_scene_rotated_bbox(valid_mask: np.ndarray):
     return rect, box
 
 
+def compute_rotation_matrix_for_mask(mask: np.ndarray):
+    """Rotation that lays the mask's min-area bbox long side horizontal, with
+    bounds expanded so nothing crops (ref notebooks/beach.ipynb cell 5,
+    verbatim semantics). Returns (rot_matrix 2×3, (new_w, new_h), angle_deg).
+    """
+    import cv2
+
+    contours, _ = cv2.findContours(
+        mask.astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+    )
+    all_points = np.vstack(contours)
+    rect = cv2.minAreaRect(all_points)
+    center, size, angle = rect
+    if size[0] < size[1]:
+        angle += 90
+    rot_matrix = cv2.getRotationMatrix2D(center, angle, 1.0)
+    h, w = mask.shape[:2]
+    cos = np.abs(rot_matrix[0, 0])
+    sin = np.abs(rot_matrix[0, 1])
+    new_w = int(h * sin + w * cos)
+    new_h = int(h * cos + w * sin)
+    rot_matrix[0, 2] += (new_w / 2) - center[0]
+    rot_matrix[1, 2] += (new_h / 2) - center[1]
+    return rot_matrix, (new_w, new_h), angle
+
+
+def rotate_array(array: np.ndarray, rot_matrix, output_size, interpolation=None):
+    """cv2.warpAffine companion to :func:`compute_rotation_matrix_for_mask`."""
+    import cv2
+
+    if interpolation is None:
+        interpolation = cv2.INTER_LINEAR
+    return cv2.warpAffine(array, rot_matrix, output_size, flags=interpolation)
+
+
 # ------------------------------------------------------------- matplotlib
 
 
