@@ -33,9 +33,10 @@ from beach_seg_tpu.geo.masks import crop_tif, safe_assign_crop
 from beach_seg_tpu.geo.mosaic import merge_tifs
 from beach_seg_tpu.infer.accumulator import transform_line
 from beach_seg_tpu.infer.processor import (
+    normalize_device,
     post_process_semantic_device,
-    preprocess_image,
-    preprocess_mask,
+    preprocess_image_u8,
+    preprocess_mask_u8,
 )
 from beach_seg_tpu.infer.zero_shot import zero_shot_model
 from beach_seg_tpu.geo.shapefile import save_shapefile
@@ -77,16 +78,16 @@ def run_legacy(conf: LegacyConfig) -> Path:
         )
         prompt_masks_ids = pb["mask"]
         n = min(conf.n_prompts, len(prompt_pixels))
-        p_pixels = np.stack([preprocess_image(p, size) for p in prompt_pixels[:n]])
-        p_masks = np.stack([preprocess_mask(m, num_classes - 1, size) for m in prompt_masks_ids[:n]])
+        p_pixels = np.stack([preprocess_image_u8(p, size) for p in prompt_pixels[:n]])
+        p_masks = np.stack([preprocess_mask_u8(m, num_classes - 1, size) for m in prompt_masks_ids[:n]])
     else:
         img, nodata = scene.date_merged_imgs[scene.mask_date]
         label = scene.date_masks[scene.mask_date]
         p_pixels, p_masks = [], []
         for crop in scene.crops[: conf.n_prompts]:
             ci, _, cl = crop_tif(crop, img, nodata, label, conf.crop_size)
-            p_pixels.append(preprocess_image(ci, size))
-            p_masks.append(preprocess_mask(cl, num_classes - 1, size))
+            p_pixels.append(preprocess_image_u8(ci, size))
+            p_masks.append(preprocess_mask_u8(cl, num_classes - 1, size))
         p_pixels, p_masks = np.stack(p_pixels), np.stack(p_masks)
 
     model, model_cfg = zero_shot_model(conf)
@@ -95,18 +96,22 @@ def run_legacy(conf: LegacyConfig) -> Path:
 
     m_prompts = len(p_pixels)
 
-    def forward(params, query):
-        q = jnp.broadcast_to(query[None], (m_prompts, *query.shape))
+    def forward(params, query, pp, pm):
+        q = jnp.broadcast_to(query[None], pp.shape)
         out = model.apply(
-            {"params": params}, q, jnp.asarray(p_pixels), jnp.asarray(p_masks),
+            {"params": params}, q, pp, pm,
             embedding_type="semantic", feature_ensemble=True, decode_query_only=True,
         )
         return out["pred_masks"][0]  # first canvas (ref :68)
 
     @jax.jit
-    def batched(params, queries):
-        # decode on device — only uint8 ids cross the slow download path
-        canvases = jax.vmap(forward, in_axes=(None, 0))(params, queries)
+    def batched(params, queries_u8):
+        # uint8 in, uint8 out: normalize the staged prompts/queries and decode
+        # ON DEVICE — only uint8 crosses the slow tunnel in either direction
+        pp = normalize_device(jnp.asarray(p_pixels))
+        pm = normalize_device(jnp.asarray(p_masks))
+        queries = normalize_device(queries_u8)
+        canvases = jax.vmap(lambda q: forward(params, q, pp, pm))(queries)
         return post_process_semantic_device(
             canvases, (conf.crop_size, conf.crop_size), num_classes - 1
         )
@@ -134,7 +139,7 @@ def run_legacy(conf: LegacyConfig) -> Path:
                 ci, cn, _ = crop_tif(crop, merged_img, merged_nodata, None, conf.crop_size)
                 if np.all(cn):
                     continue
-                queries.append(preprocess_image(ci, size))
+                queries.append(preprocess_image_u8(ci, size))
                 metas.append((crop, cn))
             if not queries:
                 continue

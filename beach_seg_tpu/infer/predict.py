@@ -167,6 +167,17 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
                         img_crop=img_small[i],
                     )
 
+            def paste_date(batches, all_res):
+                """ONE device→host fetch for the whole date (fetches through
+                the tunnel carry seconds of fixed latency regardless of size),
+                then paste batch by batch."""
+                res = np.asarray(all_res)
+                ofs = 0
+                for b in batches:
+                    n = len(b["valid"])
+                    paste(b, res[ofs : ofs + n])
+                    ofs += n
+
             from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
@@ -179,12 +190,12 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
                         train_scene, date_merged_imgs={date: (merged_img, merged_nodata)}, date_masks={}
                     )
                     dataset = BeachSegDataset(date_scene, conf, raw=True)
+                    date_batches, date_results = [], []
                     for batch in iterate_batches(dataset, conf.batch_size, workers=num_workers(conf)):
                         if not batch["valid"].any():
                             continue
                         # upload ONLY the raw uint8 crops + indices (~1 MB per
-                        # batch); mask/nodata stay host-side — the tunnel
-                        # moves fresh uploads at a few MB/s
+                        # batch); mask/nodata stay host-side
                         dev_batch = {
                             k: jax.device_put(jnp.asarray(v), bs)
                             for k, v in batch.items()
@@ -200,9 +211,16 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
                                 pixels, params, pmasks, pnodata, dev_batch,
                                 out_size=conf.crop_size,
                             )
-                        inflight.append(paster.submit(paste, batch, result))
+                        date_batches.append(batch)
+                        date_results.append(result)
                         n_tiles += int(batch["valid"].sum())
-                        while len(inflight) > 2:
+                    if date_results:
+                        all_res = (
+                            jnp.concatenate(date_results, axis=0)
+                            if len(date_results) > 1 else date_results[0]
+                        )
+                        inflight.append(paster.submit(paste_date, date_batches, all_res))
+                        while len(inflight) > 1:
                             inflight.popleft().result()
                 while inflight:
                     inflight.popleft().result()

@@ -29,9 +29,10 @@ from beach_seg_tpu.geo.masks import crop_tif
 from beach_seg_tpu.geo.mosaic import merge_tifs
 from beach_seg_tpu.infer.accumulator import VoteAccumulator
 from beach_seg_tpu.infer.processor import (
+    normalize_device,
     post_process_semantic_device,
-    preprocess_image,
-    preprocess_mask,
+    preprocess_image_u8,
+    preprocess_mask_u8,
 )
 from beach_seg_tpu.models.seggpt.config import SegGPTConfig
 from beach_seg_tpu.models.seggpt.load import load_model_params
@@ -107,13 +108,15 @@ def run_zero_shot(conf: PredConfig) -> Path:
     overlay_prediction(prompt_img, prompt_label, conf.classes).save(predict_dir / "prompt_w_label.png")
     Image.fromarray(prompt_img).save(predict_dir / "prompt.png")
 
-    # preprocess all prompt candidates once
+    # preprocess all prompt candidates once — staged as uint8 (PIL-exact
+    # resize host-side, rescale+normalize ON DEVICE): the host→device link
+    # moves fresh data at only a few MB/s, so u8 staging is 4× cheaper
     size = 448
     prompt_pixels, prompt_masks_rgb, crop_labels = [], [], []
     for crop in crops:
         ci, _, cl = crop_tif(crop, prompt_img, prompt_nodata, prompt_label, crop_size)
-        prompt_pixels.append(preprocess_image(ci, size))
-        prompt_masks_rgb.append(preprocess_mask(cl, num_classes - 1, size))
+        prompt_pixels.append(preprocess_image_u8(ci, size))
+        prompt_masks_rgb.append(preprocess_mask_u8(cl, num_classes - 1, size))
         crop_labels.append(cl)
     prompt_pixels = np.stack(prompt_pixels)
     prompt_masks_rgb = np.stack(prompt_masks_rgb)
@@ -139,10 +142,12 @@ def run_zero_shot(conf: PredConfig) -> Path:
         return out["pred_masks"].mean(axis=0)  # (2H, W, 3)
 
     @jax.jit
-    def batched(params, queries, p_pixels, p_masks):
-        # decode on device: the host download shrinks from a float canvas
-        # (~4.8 MB/tile) to uint8 ids (~0.1 MB/tile) — the axon tunnel
-        # downloads at ~6 MB/s, so host-side decode serializes on transfers
+    def batched(params, queries_u8, p_pixels_u8, p_masks_u8):
+        # normalize the uint8 stages on device, decode on device: only uint8
+        # crosses the slow tunnel in either direction
+        queries = normalize_device(queries_u8)
+        p_pixels = normalize_device(p_pixels_u8)
+        p_masks = normalize_device(p_masks_u8)
         canvases = jax.vmap(ensemble_forward, in_axes=(None, 0, 0, 0))(
             params, queries, p_pixels, p_masks
         )
@@ -217,7 +222,7 @@ def run_zero_shot(conf: PredConfig) -> Path:
                     else:
                         crop_idxes = [crop_idx] + best_crop_idxes[: conf.n_prompts - 1].tolist()
                     pending.append(
-                        (crop_idx, preprocess_image(crop_img, size), np.asarray(crop_idxes, np.int32))
+                        (crop_idx, preprocess_image_u8(crop_img, size), np.asarray(crop_idxes, np.int32))
                     )
                     if len(pending) == q_batch:
                         flush()
