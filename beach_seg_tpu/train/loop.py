@@ -151,7 +151,10 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
         # stays conf.epochs — lr_schedule already uses conf.epochs.
         total_epochs = conf.epochs * 5 if conf.epochs_compat else conf.epochs
         for epoch in range(start_epoch, total_epochs):
-            train_cm = np.zeros((len(conf.classes),) * 2, np.int64)
+            # confusion accumulates ON DEVICE; device→host fetches through the
+            # axon tunnel carry ~1 s of fixed latency each, so per-step metric
+            # fetches would dominate the step time — fetch once per epoch
+            train_cm_dev = jnp.zeros((len(conf.classes),) * 2, jnp.int32)
             with maybe_trace(conf.profile and epoch == 0, run_dir):
                 batches = prefetch_iterator(
                     iterate_batches(
@@ -162,7 +165,7 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
                 for batch in batches:
                     key, sub = jax.random.split(key)
                     state, metrics = tuner.train_step(state, params, pmasks, pnodata, put(batch), sub)
-                    train_cm += np.asarray(metrics["confusion"])
+                    train_cm_dev = train_cm_dev + metrics["confusion"]
                     timer.tick()
                     if global_step % conf.log_every_n_steps == 0:
                         scalars = {"train/loss": float(metrics["loss"]), "lr": float(sched(global_step))}
@@ -170,30 +173,40 @@ def run_training(conf: BeachSegConfig, scene=None) -> Path:
                             scalars["perf/steps_per_sec"] = timer.steps_per_sec
                         mlog.log_scalars(scalars, global_step)
                     global_step += 1
+            train_cm = np.asarray(train_cm_dev).astype(np.int64)  # single fetch per epoch
             mlog.log_scalars({"train/f1": float(f1_from_confusion(jnp.asarray(train_cm)))}, global_step)
 
-            # validation — same dataset as train (reference quirk #2)
-            val_cm = np.zeros_like(train_cm)
-            val_losses = []
+            # validation — same dataset as train (reference quirk #2);
+            # loss/confusion accumulate on device, one fetch at epoch end
+            val_cm_dev = jnp.zeros_like(train_cm_dev)
+            val_loss_dev = jnp.zeros((), jnp.float32)
+            n_val = 0
             viz = None
+            viz_src = None
             for batch in iterate_batches(
                 dataset, conf.batch_size, workers=num_workers(conf), row_slice=row_slice
             ):
                 key, sub = jax.random.split(key)
                 out = tuner.eval_step(state.prompt_pixels, params, pmasks, pnodata, put(batch), sub)
-                val_cm += np.asarray(out["confusion"])
-                val_losses.append(float(out["loss"]))
-                if viz is None and conf.num_viz_images > 0:
-                    n = min(conf.num_viz_images, len(batch["image"]))
-                    prompt_imgs = np.asarray(state.prompt_pixels)[batch["crop_idx"][:n] % num_prompts]
-                    viz = example_grid(
-                        batch["image"][:n],
-                        batch["mask"][:n],
-                        np.asarray(out["pred"])[:n],
-                        prompt_imgs,
-                        conf.classes,
-                        conf.viz_size,
-                    )
+                val_cm_dev = val_cm_dev + out["confusion"]
+                val_loss_dev = val_loss_dev + out["loss"]
+                n_val += 1
+                if viz_src is None and conf.num_viz_images > 0:
+                    viz_src = (batch, out["pred"])  # fetched after the loop
+            val_cm = np.asarray(val_cm_dev).astype(np.int64)
+            val_losses = [float(val_loss_dev) / max(n_val, 1)]
+            if viz_src is not None:
+                batch, pred_dev = viz_src
+                n = min(conf.num_viz_images, len(batch["image"]))
+                prompt_imgs = np.asarray(state.prompt_pixels)[batch["crop_idx"][:n] % num_prompts]
+                viz = example_grid(
+                    batch["image"][:n],
+                    batch["mask"][:n],
+                    np.asarray(pred_dev)[:n],
+                    prompt_imgs,
+                    conf.classes,
+                    conf.viz_size,
+                )
             mlog.log_scalars(
                 {"val/f1": float(f1_from_confusion(jnp.asarray(val_cm))), "val/loss": float(np.mean(val_losses))},
                 global_step,
