@@ -1,70 +1,85 @@
-"""Training-step throughput benchmark (secondary metric; the driver's
-headline is bench.py). Prints one JSON line:
+"""End-to-end training benchmark: the REAL run_training loop on a synthetic
+scene (host crop assembly → device fused train step → device-accumulated
+metrics → eval epoch → Orbax checkpoint → prompt exports).
 
-    {"metric": "train_tiles_per_sec_per_chip", ...}
-
-Measures the fully fused prompt-tuning step (augment → forward → loss →
-flash-backward → AdamW → EMA → confusion) on ViT-L 448 tiles, bf16 + remat.
+Usage: python scripts/bench_train.py [--batch 8] [--width-crops 40] [--debug]
+Prints one JSON line per phase; headline = steady-state train tiles/s
+(second run, jit cache warm, timed around run_training minus setup).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import shutil
+import sys
+import tempfile
 import time
+from pathlib import Path
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from beach_seg_tpu.config import BeachSegConfig
-from beach_seg_tpu.models.seggpt.config import SegGPTConfig
-from beach_seg_tpu.models.seggpt.model import SegGPT
-from beach_seg_tpu.train.prompt_tuner import PromptTuner
-
-B, P, ITERS = 8, 8, 10
+from bench_e2e import build_big_scene  # noqa: E402
 
 
 def main() -> None:
-    conf = BeachSegConfig(
-        epochs=1, crop_size=112, inpt_size=448, batch_size=B,
-        compute_dtype="bfloat16", remat=True, checkpoint="random",
-    )
-    model = SegGPT(SegGPTConfig(), dtype=jnp.bfloat16, remat=True)
-    h = w = 448
-    zeros = jnp.zeros((1, h, w, 3), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), zeros, zeros, zeros)["params"]
-    rng = np.random.default_rng(0)
-    tuner = PromptTuner(model=model, conf=conf, num_prompts=P, steps_per_epoch=10)
-    state = tuner.init_state(jnp.asarray(rng.random((P, h, w, 3)), jnp.float32))
-    pm = jnp.asarray(rng.integers(0, 4, (P, h, w)), jnp.int32)
-    pn = jnp.zeros((P, h, w), bool)
-    batch = {
-        "image": jnp.asarray(rng.random((B, h, w, 3)), jnp.float32),
-        "mask": jnp.asarray(rng.integers(0, 4, (B, h, w)), jnp.int32),
-        "nodata": jnp.zeros((B, h, w), bool),
-        "crop_idx": jnp.zeros((B,), jnp.int32),
-    }
-    key = jax.random.PRNGKey(0)
-    state, _ = tuner.train_step(state, params, pm, pn, batch, key)  # compile
-    jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        key, sub = jax.random.split(key)
-        # state threads through every step — lazy runtimes cannot elide
-        state, metrics = tuner.train_step(state, params, pm, pn, batch, sub)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "metric": "train_tiles_per_sec_per_chip",
-                "value": round(B * ITERS / dt, 3),
-                "unit": "tiles/s",
-                "ms_per_step": round(dt / ITERS * 1e3, 1),
-                "batch": B,
-            }
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--width-crops", type=int, default=40)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--debug", action="store_true")
+    args = ap.parse_args()
+    if args.debug:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from beach_seg_tpu.config import BeachSegConfig
+    from beach_seg_tpu.data.dataset import create_scene
+    from beach_seg_tpu.train.loop import run_training
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench_train_"))
+    try:
+        crop = 32 if args.debug else 112
+        scene_dir = build_big_scene(tmp / "scene", args.width_crops, 1, crop_size=crop)
+        conf = BeachSegConfig(
+            data=scene_dir,
+            model_training_root=tmp / "out",
+            checkpoint="random",
+            batch_size=args.batch,
+            compute_dtype="bfloat16",
+            remat=True,
+            debug=args.debug,
+            crop_size=crop,
+            inpt_size=64 if args.debug else 448,
+            epochs=args.epochs,
+            num_viz_images=0,
+            mesh_data=-1,
+            mesh_model=1,
         )
-    )
+        scene = create_scene(conf, train=True)
+        n_tiles = len(scene.crops) * args.epochs
+
+        t0 = time.perf_counter()
+        run_training(conf, scene=scene)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_training(conf, scene=scene)
+        warm = time.perf_counter() - t0
+
+        print(json.dumps({
+            "metric": "train_e2e_wallclock_cold", "value": round(cold, 2), "unit": "s",
+            "tiles": n_tiles,
+        }))
+        print(json.dumps({
+            "metric": "train_e2e_tiles_per_sec", "value": round(n_tiles / warm, 3),
+            "unit": "tiles/s", "wallclock_warm_s": round(warm, 2),
+            "tiles": n_tiles, "batch": args.batch,
+            "note": "includes the full eval epoch + checkpoint/export I-O",
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
