@@ -167,63 +167,52 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
                         img_crop=img_small[i],
                     )
 
-            def paste_date(batches, all_res):
-                """ONE device→host fetch for the whole date (fetches through
-                the tunnel carry seconds of fixed latency regardless of size),
-                then paste batch by batch."""
-                res = np.asarray(all_res)
+            t_setup = time.perf_counter()
+            n_tiles = 0
+            all_batches, all_results = [], []
+            for date, (merged_img, merged_nodata) in merger:
+                date_scene = dataclasses.replace(
+                    train_scene, date_merged_imgs={date: (merged_img, merged_nodata)}, date_masks={}
+                )
+                dataset = BeachSegDataset(date_scene, conf, raw=True)
+                for batch in iterate_batches(dataset, conf.batch_size, workers=num_workers(conf)):
+                    if not batch["valid"].any():
+                        continue
+                    # upload ONLY the raw uint8 crops + indices (~1 MB per
+                    # batch); mask/nodata stay host-side
+                    dev_batch = {
+                        k: jax.device_put(jnp.asarray(v), bs)
+                        for k, v in batch.items()
+                        if k in ("image_u8", "crop_idx")
+                    }
+                    if use_blend:
+                        # overlap-blend: feathered soft class probabilities
+                        result = tuner.predict_step_probs(
+                            pixels, params, pmasks, pnodata, dev_batch, conf.crop_size
+                        )
+                    else:
+                        result = tuner.predict_step(
+                            pixels, params, pmasks, pnodata, dev_batch,
+                            out_size=conf.crop_size,
+                        )
+                    all_batches.append(batch)
+                    all_results.append(result)
+                    n_tiles += int(batch["valid"].sum())
+            # ONE device→host fetch for the whole scene: each fetch through
+            # the tunnel carries seconds of fixed latency regardless of size,
+            # so the uint8 results (a few KB/tile) concatenate on device and
+            # cross once. Dispatches above are async — the fetch is also the
+            # sync point for all device work.
+            if all_results:
+                res = np.asarray(
+                    jnp.concatenate(all_results, axis=0)
+                    if len(all_results) > 1 else all_results[0]
+                )
                 ofs = 0
-                for b in batches:
+                for b in all_batches:
                     n = len(b["valid"])
                     paste(b, res[ofs : ofs + n])
                     ofs += n
-
-            from collections import deque
-            from concurrent.futures import ThreadPoolExecutor
-
-            t_setup = time.perf_counter()
-            n_tiles = 0
-            with ThreadPoolExecutor(max_workers=1) as paster:
-                inflight: deque = deque()
-                for date, (merged_img, merged_nodata) in merger:
-                    date_scene = dataclasses.replace(
-                        train_scene, date_merged_imgs={date: (merged_img, merged_nodata)}, date_masks={}
-                    )
-                    dataset = BeachSegDataset(date_scene, conf, raw=True)
-                    date_batches, date_results = [], []
-                    for batch in iterate_batches(dataset, conf.batch_size, workers=num_workers(conf)):
-                        if not batch["valid"].any():
-                            continue
-                        # upload ONLY the raw uint8 crops + indices (~1 MB per
-                        # batch); mask/nodata stay host-side
-                        dev_batch = {
-                            k: jax.device_put(jnp.asarray(v), bs)
-                            for k, v in batch.items()
-                            if k in ("image_u8", "crop_idx")
-                        }
-                        if use_blend:
-                            # overlap-blend: feathered soft class probabilities
-                            result = tuner.predict_step_probs(
-                                pixels, params, pmasks, pnodata, dev_batch, conf.crop_size
-                            )
-                        else:
-                            result = tuner.predict_step(
-                                pixels, params, pmasks, pnodata, dev_batch,
-                                out_size=conf.crop_size,
-                            )
-                        date_batches.append(batch)
-                        date_results.append(result)
-                        n_tiles += int(batch["valid"].sum())
-                    if date_results:
-                        all_res = (
-                            jnp.concatenate(date_results, axis=0)
-                            if len(date_results) > 1 else date_results[0]
-                        )
-                        inflight.append(paster.submit(paste_date, date_batches, all_res))
-                        while len(inflight) > 1:
-                            inflight.popleft().result()
-                while inflight:
-                    inflight.popleft().result()
             t_stream = time.perf_counter()
 
     # phase timings for benchmarking/observability (read by scripts/bench_e2e.py)
