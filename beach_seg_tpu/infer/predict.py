@@ -169,8 +169,11 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
 
             t_setup = time.perf_counter()
             n_tiles = 0
+            t_dispatch = t_mosaic = 0.0
             all_batches, all_results = [], []
+            t_mark = time.perf_counter()
             for date, (merged_img, merged_nodata) in merger:
+                t_mosaic += time.perf_counter() - t_mark
                 date_scene = dataclasses.replace(
                     train_scene, date_merged_imgs={date: (merged_img, merged_nodata)}, date_masks={}
                 )
@@ -185,6 +188,7 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
                         for k, v in batch.items()
                         if k in ("image_u8", "crop_idx")
                     }
+                    t0 = time.perf_counter()
                     if use_blend:
                         # overlap-blend: feathered soft class probabilities
                         result = tuner.predict_step_probs(
@@ -195,24 +199,31 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
                             pixels, params, pmasks, pnodata, dev_batch,
                             out_size=conf.crop_size,
                         )
+                    t_dispatch += time.perf_counter() - t0
                     all_batches.append(batch)
                     all_results.append(result)
                     n_tiles += int(batch["valid"].sum())
+                t_mark = time.perf_counter()
             # ONE device→host fetch for the whole scene: each fetch through
             # the tunnel carries seconds of fixed latency regardless of size,
             # so the uint8 results (a few KB/tile) concatenate on device and
             # cross once. Dispatches above are async — the fetch is also the
             # sync point for all device work.
+            t_fetch = t_paste = 0.0
             if all_results:
+                t0 = time.perf_counter()
                 res = np.asarray(
                     jnp.concatenate(all_results, axis=0)
                     if len(all_results) > 1 else all_results[0]
                 )
+                t_fetch = time.perf_counter() - t0
+                t0 = time.perf_counter()
                 ofs = 0
                 for b in all_batches:
                     n = len(b["valid"])
                     paste(b, res[ofs : ofs + n])
                     ofs += n
+                t_paste = time.perf_counter() - t0
             t_stream = time.perf_counter()
 
     # phase timings for benchmarking/observability (read by scripts/bench_e2e.py)
@@ -222,6 +233,10 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
     (predict_dir / "timings.json").write_text(json.dumps({
         "setup_s": round(t_setup - t_start, 3),
         "stream_s": round(stream_s, 3),
+        "mosaic_wait_s": round(t_mosaic, 3),
+        "dispatch_s": round(t_dispatch, 3),
+        "fetch_s": round(t_fetch, 3),
+        "paste_s": round(t_paste, 3),
         "tiles": n_tiles,
         "stream_tiles_per_sec": round(n_tiles / stream_s, 3) if stream_s > 0 else None,
     }))

@@ -137,8 +137,12 @@ def main() -> None:
         }))
         print(json.dumps({
             "metric": "e2e_tiles_per_sec", "value": timings["stream_tiles_per_sec"],
-            "unit": "tiles/s", "stream_s": timings["stream_s"], "tiles": n_tiles,
-            "batch": args.batch, "merge": args.merge,
+            "unit": "tiles/s", "tiles": n_tiles,
+            "batch": args.batch, "merge": args.merge, **{
+                k: timings[k]
+                for k in ("stream_s", "mosaic_wait_s", "dispatch_s", "fetch_s", "paste_s")
+                if k in timings
+            },
         }))
         if args.keep:
             print(f"outputs kept under {tmp}", file=sys.stderr)
