@@ -178,8 +178,13 @@ def run_zero_shot(conf: PredConfig) -> Path:
                 conf.classes, export_lines=True,
             ) as acc:
                 pending: list[tuple[int, np.ndarray, np.ndarray]] = []
+                done: list[int] = []  # crop indices in dispatch order
+                results: list = []  # device uint8 id batches (lazy)
 
-                def flush():
+                def dispatch():
+                    """Async device dispatch of one padded ensemble batch —
+                    no host fetch here (fetches carry seconds of fixed
+                    latency; the date's results download in ONE fetch)."""
                     if not pending:
                         return
                     n = len(pending)
@@ -193,24 +198,13 @@ def run_zero_shot(conf: PredConfig) -> Path:
                     # per device slot); prompt gathers happen on device
                     bs = batch_sharding(mesh)
                     sel_j = jax.device_put(jnp.asarray(sel), bs)
-                    ids = batched(
+                    results.append(batched(
                         params,
                         jax.device_put(jnp.asarray(queries), bs),
                         jnp.take(pp, sel_j, axis=0),
                         jnp.take(pm, sel_j, axis=0),
-                    )
-                    preds = np.asarray(ids[:n]).astype(np.int32)
-                    for (crop_idx, _, _), pred in zip(pending, preds):
-                        _, crop_nodata, _ = crop_tif(
-                            crops[crop_idx], merged_img, merged_nodata, None, crop_size
-                        )
-                        pred = pred.copy()
-                        pred[crop_nodata.astype(bool)] = 0  # ref :303
-                        one_hot = np.eye(num_classes, dtype=np.int32)[pred]
-                        acc.update(
-                            date, crops[crop_idx], one_hot,
-                            date_img=merged_img, date_nodata=merged_nodata,
-                        )
+                    )[:n])
+                    done.extend(p[0] for p in pending)
                     pending.clear()
 
                 for crop_idx, crop in enumerate(crops):
@@ -225,7 +219,23 @@ def run_zero_shot(conf: PredConfig) -> Path:
                         (crop_idx, preprocess_image_u8(crop_img, size), np.asarray(crop_idxes, np.int32))
                     )
                     if len(pending) == q_batch:
-                        flush()
-                flush()
+                        dispatch()
+                dispatch()
+
+                if results:
+                    preds = np.asarray(
+                        jnp.concatenate(results, axis=0) if len(results) > 1 else results[0]
+                    ).astype(np.int32)
+                    for crop_idx, pred in zip(done, preds):
+                        _, crop_nodata, _ = crop_tif(
+                            crops[crop_idx], merged_img, merged_nodata, None, crop_size
+                        )
+                        pred = pred.copy()
+                        pred[crop_nodata.astype(bool)] = 0  # ref :303
+                        one_hot = np.eye(num_classes, dtype=np.int32)[pred]
+                        acc.update(
+                            date, crops[crop_idx], one_hot,
+                            date_img=merged_img, date_nodata=merged_nodata,
+                        )
     logger.info("done")
     return predict_dir
