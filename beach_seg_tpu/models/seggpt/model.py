@@ -153,9 +153,9 @@ class Attention(nn.Module):
 
         use_fused = self.impl == "fused" or (self.impl == "auto" and rel_h is not None)
         if use_fused and rel_h is not None:
-            from beach_seg_tpu.ops.pallas_attn import fused_attention
+            from beach_seg_tpu.ops.pallas_attn import fused_attention_merged
 
-            out = fused_attention(
+            out = fused_attention_merged(
                 q,
                 k,
                 v,
@@ -164,10 +164,11 @@ class Attention(nn.Module):
                 hd**-0.5,
                 gh,
                 gw,
-            )
+                nh,
+            ).reshape(b, gh, gw, c)
         else:
             out = attention_reference(q, k, v, rel_h, rel_w, hd**-0.5, self.precision)
-        out = out.reshape(b, nh, gh, gw, hd).transpose(0, 2, 3, 1, 4).reshape(b, gh, gw, c)
+            out = out.reshape(b, nh, gh, gw, hd).transpose(0, 2, 3, 1, 4).reshape(b, gh, gw, c)
 
         proj_kernel = self.param("proj_kernel", _trunc_normal(cfg.initializer_range), (c, c), jnp.float32)
         proj_bias = self.param("proj_bias", nn.initializers.zeros, (c,), jnp.float32)

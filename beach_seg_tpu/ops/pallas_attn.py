@@ -121,6 +121,119 @@ def _pallas_attention(
     )(q, k, v, rel_h, rel_w, eh, ew)
 
 
+def _kernel_packed(qh_ref, kh_ref, v_ref, rw_ref, out_ref, *, wk: int):
+    """Packed-contraction attention: qh = [q·scale ‖ rel_h ‖ 0], kh = [k ‖
+    onehot(kh) ‖ 0] — one MXU matmul yields q·kᵀ·scale + rel_h[q, kh(k)]
+    (the extra 56 contraction lanes ride the 64→128 padding the MXU applies
+    to head_dim=64 anyway, so the rel_h bias is FREE). The rel_w term is a
+    lane-tiled broadcast: column j needs rel_w[q, j % Wk], i.e. the (BQ, Wk)
+    block repeated S/Wk times along lanes — pure VPU, no matmul."""
+    qh = qh_ref[0]  # (BQ, DP)
+    kh = kh_ref[0]  # (S, DP)
+    v = v_ref[0]  # (S, D)
+    scores = jax.lax.dot_general(
+        qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    rw = rw_ref[0].astype(jnp.float32)  # (BQ, Wk)
+    scores = scores + pltpu.repeat(rw, scores.shape[-1] // wk, axis=1)
+    # softmax with the normalization deferred past the PV matmul: dividing the
+    # (BQ, D) output instead of the (BQ, S) probabilities saves a full
+    # S-wide VPU pass (exact same fp32 math — flash-attention trick)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    r = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out_ref[0] = (out / r).astype(out_ref.dtype)
+
+
+def _pallas_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_h: jnp.ndarray,
+    rel_w: jnp.ndarray,
+    scale: float,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q/k/v: (B·H, S, D); rel_h: (B·H, S, Hk); rel_w: (B·H, S, Wk).
+
+    Returns (B, S, H·D) — heads re-interleaved by the output BlockSpec
+    index_map, so the caller needs no transpose before the proj matmul."""
+    bh, s, d = q.shape
+    hk = rel_h.shape[-1]
+    wk = rel_w.shape[-1]
+    assert hk * wk == s, (hk, wk, s)
+    b = bh // num_heads
+    dp = -(-(d + hk) // 128) * 128  # packed contraction dim, lane-aligned
+    pad_q = jnp.zeros((bh, s, dp - d - hk), q.dtype)
+    qh = jnp.concatenate([q * jnp.asarray(scale, q.dtype), rel_h.astype(q.dtype), pad_q], axis=-1)
+    eh = (jnp.arange(s)[:, None] // wk == jnp.arange(hk)[None, :]).astype(k.dtype)  # (S, Hk)
+    kh = jnp.concatenate(
+        [k, jnp.broadcast_to(eh[None], (bh, s, hk)), jnp.zeros((bh, s, dp - d - hk), k.dtype)],
+        axis=-1,
+    )
+    bq = _pick_block(s)
+    grid = (bh, s // bq)
+    kernel = functools.partial(_kernel_packed, wk=wk)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, dp), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, wk), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * s * s * (dp + d),
+            bytes_accessed=bh * s * (2 * dp + 2 * d) * 2,
+            transcendentals=bh * s * s,
+        ),
+        interpret=interpret,
+    )(qh, kh, v, rel_w)
+    # merge heads back into channels; XLA folds this relayout into the
+    # surrounding fusion (a (1,784,64) output block into a 1024-channel
+    # array is below the Mosaic 128-lane store granularity, so the kernel
+    # cannot scatter heads into the merged layout itself)
+    return out.reshape(b, num_heads, s, d).transpose(0, 2, 1, 3).reshape(b, s, num_heads * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_attention_merged(q, k, v, rel_h, rel_w, scale: float, hk: int, wk: int, num_heads: int):
+    """Packed-contraction fused attention returning merged (B, S, H·D).
+
+    Forward = _pallas_attention_packed; backward = the flash-style kernel
+    (_pallas_attention_bwd) on the (B·H, S, D) layout — the incoming
+    cotangent is un-merged with one transpose (training path only)."""
+    interpret = jax.default_backend() != "tpu"
+    return _pallas_attention_packed(q, k, v, rel_h, rel_w, scale, num_heads, interpret=interpret)
+
+
+def _merged_fwd(q, k, v, rel_h, rel_w, scale, hk, wk, num_heads):
+    out = fused_attention_merged(q, k, v, rel_h, rel_w, scale, hk, wk, num_heads)
+    return out, (q, k, v, rel_h, rel_w)
+
+
+def _merged_bwd(scale, hk, wk, num_heads, res, g):
+    q, k, v, rel_h, rel_w = res
+    bh, s, d = q.shape
+    b = bh // num_heads
+    g = g.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3).reshape(bh, s, d)
+    interpret = jax.default_backend() != "tpu"
+    dq, dk, dv, drh, drw = _pallas_attention_bwd(
+        q, k, v, rel_h, rel_w, g, scale, interpret=interpret
+    )
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), drh, drw
+
+
+fused_attention_merged.defvjp(_merged_fwd, _merged_bwd)
+
+
 def _reference_flat(q, k, v, rel_h, rel_w, scale, hk, wk):
     """attention_reference with the kernel's flattened rel-term layout."""
     bh, s, _ = q.shape

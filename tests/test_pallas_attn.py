@@ -67,3 +67,46 @@ def test_pick_block():
     assert _pick_block(32) == 32
     assert _pick_block(8) == 8
     assert _pick_block(1024) == 512 or _pick_block(1024) == 256
+
+
+def test_packed_merged_matches_reference(attn_inputs):
+    """fused_attention_merged: packed-contraction forward, merged (B,S,H·D) out."""
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_merged
+
+    q, k, v, rel_h, rel_w, gh, gw, d = attn_inputs
+    s = gh * gw
+    bh = q.shape[0]
+    nh = 2
+    b = bh // nh
+    scale = d**-0.5
+    ref = attention_reference(q, k, v, rel_h, rel_w, scale)  # (BH, S, D)
+    ref_merged = ref.reshape(b, nh, s, d).transpose(0, 2, 1, 3).reshape(b, s, nh * d)
+    got = fused_attention_merged(
+        q, k, v, rel_h.reshape(-1, s, gh), rel_w.reshape(-1, s, gw), scale, gh, gw, nh
+    )
+    assert got.shape == (b, s, nh * d)
+    assert np.abs(np.asarray(ref_merged) - np.asarray(got)).max() < 1e-5
+
+
+def test_packed_merged_gradients_match(attn_inputs):
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_merged
+
+    q, k, v, rel_h, rel_w, gh, gw, d = attn_inputs
+    s = gh * gw
+    nh = 2
+    scale = d**-0.5
+    rh = rel_h.reshape(-1, s, gh)
+    rw = rel_w.reshape(-1, s, gw)
+
+    def loss_packed(q, k, v, rh, rw):
+        return jnp.sum(fused_attention_merged(q, k, v, rh, rw, scale, gh, gw, nh) ** 2)
+
+    def loss_ref(q, k, v, rh, rw):
+        return jnp.sum(
+            attention_reference(q, k, v, rh.reshape(rel_h.shape), rw.reshape(rel_w.shape), scale) ** 2
+        )
+
+    g_packed = jax.grad(loss_packed, argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
+    for a, b in zip(g_packed, g_ref):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
