@@ -23,6 +23,12 @@ _POD_ENV_VARS = ("COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORD
 
 def maybe_initialize(world_size: int = 1) -> None:
     """Initialize jax.distributed when running multi-process."""
+    # every CLI funnels through here before touching devices — the right spot
+    # to arm the persistent XLA compilation cache (cold ViT-L jit: minutes;
+    # cached: ~20 ms)
+    from beach_seg_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     if jax.process_count() > 1:
         return  # already initialized
     want = world_size > 1 or any(v in os.environ for v in _POD_ENV_VARS)

@@ -8,8 +8,28 @@ with warmup discard. Enable via config: ``profile=true`` on the train CLI.
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from pathlib import Path
+
+
+def enable_compilation_cache(cache_dir: str | None = None, min_compile_secs: float = 2.0) -> None:
+    """Point XLA at a persistent on-disk compilation cache.
+
+    A cold ViT-L jit takes minutes on the tunneled TPU backend; with the cache
+    a second process loads the executable in ~20 ms (verified on the axon
+    PJRT plugin). Safe to call multiple times; honours
+    ``BEACH_SEG_TPU_NO_COMPILE_CACHE=1`` for debugging."""
+    if os.environ.get("BEACH_SEG_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = cache_dir or os.environ.get(
+        "BEACH_SEG_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/beach_seg_tpu/xla")
+    )
+    Path(path).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
 
 
 @contextlib.contextmanager

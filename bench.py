@@ -24,6 +24,9 @@ import numpy as np
 from beach_seg_tpu.models.seggpt.config import SegGPTConfig
 from beach_seg_tpu.models.seggpt.model import SegGPT
 from beach_seg_tpu.transforms import build_palette, decode_by_palette, normalize_palette
+from beach_seg_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
 
 BATCH = 32
 ITERS = 8
