@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from beach_seg_tpu.models.seggpt.config import SegGPTConfig
-from beach_seg_tpu.ops.attention import attention_reference, rel_pos_terms
+from beach_seg_tpu.ops.attention import attention_reference, rel_pos_terms, rel_pos_terms_heads
 from beach_seg_tpu.ops.resize import resize_2d
 
 
@@ -139,36 +139,48 @@ class Attention(nn.Module):
         if cfg.qkv_bias:
             qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * c,), jnp.float32)
             qkv = qkv + qkv_bias.astype(self.dtype)
-        # (B, S, 3, nH, hd) → (3, B·nH, S, hd)
-        qkv = qkv.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4).reshape(3, b * nh, s, hd)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
-        rel_h = rel_w = None
+        use_fused = self.impl in ("fused", "auto") and cfg.use_relative_position_embeddings
+        rel_params = None
         if cfg.use_relative_position_embeddings:
             rel_pos_h = self.param("rel_pos_h", _trunc_normal(cfg.initializer_range), (2 * gh - 1, hd), jnp.float32)
             rel_pos_w = self.param("rel_pos_w", _trunc_normal(cfg.initializer_range), (2 * gw - 1, hd), jnp.float32)
-            rel_h, rel_w = rel_pos_terms(
-                q, rel_pos_h.astype(self.dtype), rel_pos_w.astype(self.dtype), (gh, gw), (gh, gw), self.precision
-            )
+            rel_params = (rel_pos_h.astype(self.dtype), rel_pos_w.astype(self.dtype))
 
-        use_fused = self.impl == "fused" or (self.impl == "auto" and rel_h is not None)
-        if use_fused and rel_h is not None:
-            from beach_seg_tpu.ops.pallas_attn import fused_attention_merged
+        if use_fused and 2 * hd == 128 and c % 128 == 0:
+            # transpose-free path: the kernel reads q/k/v as 128-lane slices
+            # of the fused qkv output and writes the merged (B, S, C) layout
+            # directly — the (3, B·nH, S, hd) head split below costs ~3 ms of
+            # HBM copies per layer at B=32 and exists only for the fallbacks
+            from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv
 
-            out = fused_attention_merged(
-                q,
-                k,
-                v,
-                rel_h.reshape(b * nh, s, gh),
-                rel_w.reshape(b * nh, s, gw),
-                hd**-0.5,
-                gh,
-                gw,
-                nh,
-            ).reshape(b, gh, gw, c)
+            q4 = qkv[..., :c].reshape(b, gh, gw, nh, hd)
+            rel_h4, rel_w4 = rel_pos_terms_heads(q4, *rel_params, (gh, gw), (gh, gw), self.precision)
+            out = fused_attention_qkv(qkv, rel_h4, rel_w4, hd**-0.5, gh, gw, nh).reshape(b, gh, gw, c)
         else:
-            out = attention_reference(q, k, v, rel_h, rel_w, hd**-0.5, self.precision)
-            out = out.reshape(b, nh, gh, gw, hd).transpose(0, 2, 3, 1, 4).reshape(b, gh, gw, c)
+            # (B, S, 3, nH, hd) → (3, B·nH, S, hd)
+            qkv = qkv.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4).reshape(3, b * nh, s, hd)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            rel_h = rel_w = None
+            if rel_params is not None:
+                rel_h, rel_w = rel_pos_terms(q, *rel_params, (gh, gw), (gh, gw), self.precision)
+            if use_fused and rel_h is not None:
+                from beach_seg_tpu.ops.pallas_attn import fused_attention_merged
+
+                out = fused_attention_merged(
+                    q,
+                    k,
+                    v,
+                    rel_h.reshape(b * nh, s, gh),
+                    rel_w.reshape(b * nh, s, gw),
+                    hd**-0.5,
+                    gh,
+                    gw,
+                    nh,
+                ).reshape(b, gh, gw, c)
+            else:
+                out = attention_reference(q, k, v, rel_h, rel_w, hd**-0.5, self.precision)
+                out = out.reshape(b, nh, gh, gw, hd).transpose(0, 2, 3, 1, 4).reshape(b, gh, gw, c)
 
         proj_kernel = self.param("proj_kernel", _trunc_normal(cfg.initializer_range), (c, c), jnp.float32)
         proj_bias = self.param("proj_bias", nn.initializers.zeros, (c,), jnp.float32)

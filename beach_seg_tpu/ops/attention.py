@@ -61,6 +61,30 @@ def rel_pos_terms(
     return rel_h, rel_w
 
 
+def rel_pos_terms_heads(
+    q4: jnp.ndarray,
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    q_hw: tuple[int, int],
+    k_hw: tuple[int, int],
+    precision=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decomposed rel-pos terms straight from the fused qkv layout.
+
+    q4: (B, Hq, Wq, nH, head_dim) — a free reshape of the qkv matmul's q
+    columns, NO head transpose. Returns rel_h (B, nH, S, Hk) and rel_w
+    (B, nH, S, Wk), the per-head-pair block layout the qkv-direct Pallas
+    kernel consumes (pallas_attn._pallas_attention_qkv)."""
+    hq, wq = q_hw
+    hk, wk = k_hw
+    b, _, _, nh, _ = q4.shape
+    rh = get_rel_pos(hq, hk, rel_pos_h)
+    rw = get_rel_pos(wq, wk, rel_pos_w)
+    rel_h = jnp.einsum("byxnc,ykc->bnyxk", q4, rh, precision=precision)
+    rel_w = jnp.einsum("byxnc,xkc->bnyxk", q4, rw, precision=precision)
+    return rel_h.reshape(b, nh, hq * wq, hk), rel_w.reshape(b, nh, hq * wq, wk)
+
+
 def attention_reference(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -219,6 +219,148 @@ def _pallas_attention_packed(
     return out.reshape(b, num_heads, s, d).transpose(0, 2, 1, 3).reshape(b, s, num_heads * d)
 
 
+def _kernel_qkv(q_ref, k_ref, v_ref, rh_ref, rw_ref, out_ref, *, scale: float, wk: int, dp: int, hd: int):
+    """Two-heads-per-block packed attention reading the fused qkv layout.
+
+    Mosaic requires output blocks whose last dim is a multiple of 128 lanes,
+    so one grid step processes a PAIR of 64-wide heads: the q/k/v blocks are
+    128-lane slices of the (B, S, 3C) qkv matmul output (no HBM transpose
+    anywhere), split into per-head halves in VMEM, and the two attention
+    outputs concatenate back into a 128-lane store at the head pair's channel
+    offset — the (B, S, C) merged layout falls out directly. Per-head math is
+    identical to _kernel_packed."""
+    qb2 = q_ref[0]  # (BQ, 2·hd)
+    kb2 = k_ref[0]  # (S, 2·hd)
+    vb2 = v_ref[0]  # (S, 2·hd)
+    s = kb2.shape[0]
+    bq = qb2.shape[0]
+    hk = rh_ref.shape[-1]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (s, hk), 0) // wk
+    ci = jax.lax.broadcasted_iota(jnp.int32, (s, hk), 1)
+    eh = (ri == ci).astype(kb2.dtype)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (wk, s), 1) % wk
+    cj = jax.lax.broadcasted_iota(jnp.int32, (wk, s), 0)
+    ew = (rj == cj).astype(qb2.dtype)
+    halves = []
+    for j in (0, 1):
+        qb = qb2[:, j * hd : (j + 1) * hd]
+        kb = kb2[:, j * hd : (j + 1) * hd]
+        vb = vb2[:, j * hd : (j + 1) * hd]
+        rhb = rh_ref[0, j].astype(qb.dtype)
+        rwb = rw_ref[0, j].astype(qb.dtype)
+        pad = [jnp.zeros((bq, dp - hd - hk), qb.dtype)] if dp > hd + hk else []
+        qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb] + pad, axis=-1)
+        padk = [jnp.zeros((s, dp - hd - hk), kb.dtype)] if dp > hd + hk else []
+        kh = jnp.concatenate([kb, eh] + padk, axis=-1)
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = scores + jax.lax.dot_general(
+            rwb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        r = jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        halves.append(out / r)
+    out_ref[0] = jnp.concatenate(halves, axis=-1).astype(out_ref.dtype)
+
+
+def _pallas_attention_qkv(
+    qkv: jnp.ndarray,
+    rel_h: jnp.ndarray,
+    rel_w: jnp.ndarray,
+    scale: float,
+    num_heads: int,
+    interpret: bool = False,
+    block_q: int = 784,
+) -> jnp.ndarray:
+    """qkv: (B, S, 3C) fused matmul output; rel_h: (B, nH, S, Hk); rel_w:
+    (B, nH, S, Wk). Returns (B, S, C) merged-head attention output.
+
+    Requires head_dim·2 == 128 (the ViT-L flagship: C=1024, 16 heads of 64).
+    No transposes touch HBM on this path — the previous layout round-tripped
+    (3, B·H, S, D) + the merge, ~3 ms/layer of pure copies at B=32."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // num_heads
+    assert 2 * hd == 128 and c % 128 == 0, (c, num_heads)
+    hk = rel_h.shape[-1]
+    wk = rel_w.shape[-1]
+    assert hk * wk == s, (hk, wk, s)
+    dp = -(-(hd + hk) // 128) * 128
+    bq = _pick_block(s, block_q)
+    hp = num_heads // 2
+    qblk = c // 128
+    grid = (b, hp, s // bq)
+    kernel = functools.partial(_kernel_qkv, scale=scale, wk=wk, dp=dp, hd=hd)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 128), lambda g, h, i: (g, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 128), lambda g, h, i: (g, 0, qblk + h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 128), lambda g, h, i: (g, 0, 2 * qblk + h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, bq, hk), lambda g, h, i: (g, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, bq, wk), lambda g, h, i: (g, h, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 128), lambda g, h, i: (g, i, h), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * num_heads * s * s * (dp + hd),
+            bytes_accessed=qkv.size * 2 + b * s * c * 2,
+            transcendentals=b * num_heads * s * s,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_h, rel_w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_attention_qkv(qkv, rel_h, rel_w, scale: float, hk: int, wk: int, num_heads: int):
+    """Transpose-free fused attention on the (B, S, 3C) qkv layout.
+
+    Forward = _pallas_attention_qkv. Backward unpacks to the per-head layout
+    once (training path only) and reuses the flash-style backward kernel."""
+    interpret = jax.default_backend() != "tpu"
+    return _pallas_attention_qkv(qkv, rel_h, rel_w, scale, num_heads, interpret=interpret)
+
+
+def _qkv_fwd(qkv, rel_h, rel_w, scale, hk, wk, num_heads):
+    out = fused_attention_qkv(qkv, rel_h, rel_w, scale, hk, wk, num_heads)
+    return out, (qkv, rel_h, rel_w)
+
+
+def _qkv_bwd(scale, hk, wk, num_heads, res, g):
+    qkv, rel_h, rel_w = res
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // num_heads
+    bh = b * num_heads
+    split = qkv.reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4).reshape(3, bh, s, hd)
+    q, k, v = split[0], split[1], split[2]
+    g = g.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3).reshape(bh, s, hd)
+    interpret = jax.default_backend() != "tpu"
+    dq, dk, dv, drh, drw = _pallas_attention_bwd(
+        q, k, v, rel_h.reshape(bh, s, hk), rel_w.reshape(bh, s, wk), g, scale, interpret=interpret
+    )
+    dqkv = (
+        jnp.stack([dq.astype(qkv.dtype), dk.astype(qkv.dtype), dv.astype(qkv.dtype)])
+        .reshape(3, b, num_heads, s, hd)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(b, s, c3)
+    )
+    return (
+        dqkv,
+        drh.astype(rel_h.dtype).reshape(b, num_heads, s, hk),
+        drw.astype(rel_w.dtype).reshape(b, num_heads, s, wk),
+    )
+
+
+fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def fused_attention_merged(q, k, v, rel_h, rel_w, scale: float, hk: int, wk: int, num_heads: int):
     """Packed-contraction fused attention returning merged (B, S, H·D).

@@ -110,3 +110,63 @@ def test_packed_merged_gradients_match(attn_inputs):
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
     for a, b in zip(g_packed, g_ref):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
+
+
+@pytest.fixture(scope="module")
+def qkv_inputs():
+    """Flagship head geometry (head_dim=64, two heads) on a tiny grid."""
+    rng = np.random.default_rng(1)
+    b, nh, hd, gh, gw = 2, 2, 64, 8, 4
+    c = nh * hd
+    s = gh * gw
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * c)), jnp.float32)
+    rel_pos_h = jnp.asarray(rng.standard_normal((2 * gh - 1, hd)), jnp.float32)
+    rel_pos_w = jnp.asarray(rng.standard_normal((2 * gw - 1, hd)), jnp.float32)
+    return qkv, rel_pos_h, rel_pos_w, b, nh, hd, gh, gw
+
+
+def _qkv_reference(qkv, rel_pos_h, rel_pos_w, b, nh, hd, gh, gw):
+    """Oracle: unpack heads the explicit way, run attention_reference, merge."""
+    s = gh * gw
+    c = nh * hd
+    split = qkv.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4).reshape(3, b * nh, s, hd)
+    q, k, v = split[0], split[1], split[2]
+    rel_h, rel_w = rel_pos_terms(q, rel_pos_h, rel_pos_w, (gh, gw), (gh, gw))
+    out = attention_reference(q, k, v, rel_h, rel_w, hd**-0.5)
+    return out.reshape(b, nh, s, hd).transpose(0, 2, 1, 3).reshape(b, s, c)
+
+
+def test_qkv_kernel_matches_reference(qkv_inputs):
+    from beach_seg_tpu.ops.attention import rel_pos_terms_heads
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    s = gh * gw
+    c = nh * hd
+    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
+    q4 = qkv[..., :c].reshape(b, gh, gw, nh, hd)
+    rel_h4, rel_w4 = rel_pos_terms_heads(q4, rph, rpw, (gh, gw), (gh, gw))
+    got = fused_attention_qkv(qkv, rel_h4, rel_w4, hd**-0.5, gh, gw, nh)
+    assert got.shape == (b, s, c)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
+
+
+def test_qkv_kernel_gradients_match(qkv_inputs):
+    from beach_seg_tpu.ops.attention import rel_pos_terms_heads
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    c = nh * hd
+
+    def loss_fused(qkv):
+        q4 = qkv[..., :c].reshape(b, gh, gw, nh, hd)
+        rel_h4, rel_w4 = rel_pos_terms_heads(q4, rph, rpw, (gh, gw), (gh, gw))
+        return jnp.sum(fused_attention_qkv(qkv, rel_h4, rel_w4, hd**-0.5, gh, gw, nh) ** 2)
+
+    def loss_ref(qkv):
+        return jnp.sum(_qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw) ** 2)
+
+    g_fused = jax.grad(loss_fused)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    err = np.abs(np.asarray(g_fused) - np.asarray(g_ref)).max()
+    assert err / np.abs(np.asarray(g_ref)).max() < 1e-5

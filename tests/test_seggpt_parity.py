@@ -151,3 +151,29 @@ def test_droppath_stochastic_train_mode(setup):
     o3 = jmodel.apply({"params": params}, *args)
     assert not np.allclose(np.asarray(o1["pred_masks"]), np.asarray(o2["pred_masks"]))
     assert np.isfinite(np.asarray(o3["pred_masks"])).all()
+
+
+def test_forward_parity_head_dim_64():
+    """Flagship head geometry (head_dim=64): exercises the transpose-free
+    qkv-direct Pallas path (ops/pallas_attn.fused_attention_qkv), which only
+    engages when 2*head_dim == 128 — tiny_config (head_dim=8) can't reach it."""
+    tcfg = tiny_config(hidden_size=128, num_attention_heads=2)
+    tmodel, hf_cfg = make_torch_model(tcfg)
+    cfg = config_from_hf(hf_cfg)
+    params = jax.tree.map(jnp.asarray, convert_torch_state_dict(tmodel.state_dict(), cfg))
+    jmodel = SegGPT(cfg, precision=HI)
+    rng = np.random.default_rng(7)
+    h, w = cfg.image_size[0] // 2, cfg.image_size[1]
+    inputs = {
+        k: rng.standard_normal((2, 3, h, w)).astype(np.float32)
+        for k in ("pixel_values", "prompt_pixel_values", "prompt_masks")
+    }
+    with torch.no_grad():
+        ref = tmodel(**{k: torch.from_numpy(v) for k, v in inputs.items()}).pred_masks.numpy()
+    out = jmodel.apply(
+        {"params": params},
+        *(jnp.asarray(np.transpose(inputs[k], (0, 2, 3, 1)))
+          for k in ("pixel_values", "prompt_pixel_values", "prompt_masks")),
+    )
+    got = np.transpose(np.asarray(out["pred_masks"]), (0, 3, 1, 2))
+    assert np.abs(got - ref).max() < 2e-4
