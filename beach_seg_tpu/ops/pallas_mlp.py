@@ -1,0 +1,126 @@
+"""Fused LayerNorm→Linear→GELU→Linear Pallas kernel — the transformer MLP.
+
+XLA lowers the SegGPT MLP block (ln2 → lin1 → GELU → lin2 → +residual → next
+LN's stats) into one mega-fusion that runs at ~116 TF/s on v5e (7.3 ms/layer
+at B=32, vs a 4.4 ms matmul floor) — the fused epilogues and the 1×1-conv
+formulation of lin2 tax the MXU schedule. This kernel keeps both weight
+matrices resident in VMEM (8 MB each in bf16, fetched once per launch) and
+streams row blocks through: LN stats in fp32 registers, lin1 with fp32
+accumulation, GELU in fp32, lin2 with fp32 accumulation, one bf16 store.
+
+The residual add stays OUTSIDE (the Block applies drop-path to the MLP output
+in training; XLA fuses the add into the neighbouring ops).
+
+Backward (training) is the XLA recompute of the same math via ``jax.vjp`` on
+``_mlp_reference`` — identical fp32 semantics, peak-memory flat (the same
+trade the attention kernel makes; ref ops/pallas_attn.py docstring).
+
+Ref: HF modeling_seggpt.py SegGptMlp (:353-366) + pre-LN at :403-447.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gelu_f32(h: jnp.ndarray, approx: bool) -> jnp.ndarray:
+    return jax.nn.gelu(h, approximate=approx)
+
+
+def _kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, eps: float, approx: bool):
+    x = x_ref[...]
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    ln = ((xf - mean) * jax.lax.rsqrt(var + eps) * ls_ref[...] + lb_ref[...]).astype(x.dtype)
+    h = jax.lax.dot_general(
+        ln, w1_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = _gelu_f32(h + b1_ref[...], approx).astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out_ref[...] = (y + b2_ref[...]).astype(out_ref.dtype)
+
+
+def _mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, approx):
+    """Pure-XLA oracle with the kernel's exact fp32 semantics."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    ln = ((xf - mean) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias).astype(x.dtype)
+    h = jnp.dot(ln, w1, preferred_element_type=jnp.float32)
+    h = _gelu_f32(h + b1, approx).astype(x.dtype)
+    y = jnp.dot(h, w2, preferred_element_type=jnp.float32)
+    return (y + b2).astype(x.dtype)
+
+
+def _pick_rows(n: int, target: int = 256) -> int:
+    best = n
+    for d in range(1, n + 1):
+        if n % d:
+            continue
+        blk = n // d
+        if blk <= target and blk % 8 == 0:
+            return blk
+    return best
+
+
+def _pallas_mlp(x2d, ln_scale, ln_bias, w1, b1, w2, b2, eps, approx, interpret=False):
+    n, c = x2d.shape
+    m = w1.shape[1]
+    br = _pick_rows(n)
+    kernel = functools.partial(_kernel, eps=eps, approx=approx)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // br,),
+        in_specs=[
+            pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c), x2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * c * m,
+            bytes_accessed=(2 * n * c + 2 * c * m) * 2,
+            transcendentals=n * m,
+        ),
+        interpret=interpret,
+    )(x2d, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float, approx: bool):
+    """LN → Lin1 → GELU → Lin2 on (..., C) input; weights in fp32 or compute
+    dtype (cast by the caller). Returns the MLP output (no residual)."""
+    shape = x.shape
+    x2d = x.reshape(-1, shape[-1])
+    interpret = jax.default_backend() != "tpu"
+    out = _pallas_mlp(x2d, ln_scale, ln_bias, w1, b1, w2, b2, eps, approx, interpret=interpret)
+    return out.reshape(shape)
+
+
+def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, approx):
+    out = fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, approx)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _bwd(eps, approx, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    shape = x.shape
+    ref = lambda *args: _mlp_reference(*args, eps, approx).reshape(shape)
+    _, vjp = jax.vjp(ref, x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return vjp(g)
+
+
+fused_ln_mlp.defvjp(_fwd, _bwd)
