@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -374,11 +376,33 @@ class Decoder(nn.Module):
         embed_kernel = self.param("embed_kernel", _trunc_normal(cfg.initializer_range), (cin, p * p * dh), jnp.float32)
         embed_bias = self.param("embed_bias", nn.initializers.zeros, (p * p * dh,), jnp.float32)
         h = jnp.dot(feats, embed_kernel.astype(self.dtype), precision=self.precision) + embed_bias.astype(self.dtype)
-        # pixel shuffle: (B, gh, gw, p, p, dh) → (B, gh·p, gw·p, dh)
-        h = h.reshape(b, gh, gw, p, p, dh).transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * p, gw * p, dh)
 
         conv_kernel = self.param("conv_kernel", _trunc_normal(cfg.initializer_range), (3, 3, dh, dh), jnp.float32)
         conv_bias = self.param("conv_bias", nn.initializers.zeros, (dh,), jnp.float32)
+        if self.dtype == jnp.bfloat16 and os.environ.get("BEACH_SEG_TPU_FUSED_DECODER"):
+            # experimental: one Pallas launch for pixel-shuffle+Conv3×3+LN+
+            # GELU+head. Measured ~39 ms vs XLA's ~42 ms chain at B=32 —
+            # relayout-bound in Mosaic (see ops/pallas_decoder.py), so it is
+            # opt-in until the in-kernel shuffle lowers better.
+            from beach_seg_tpu.ops.pallas_decoder import decoder_tail
+
+            ln_scale, ln_bias = LayerNorm(dh, cfg.layer_norm_eps, name="layernorm")(return_params=True)
+            head_kernel = self.param("head_kernel", _trunc_normal(cfg.initializer_range), (dh, 3), jnp.float32)
+            head_bias = self.param("head_bias", nn.initializers.zeros, (3,), jnp.float32)
+            return decoder_tail(
+                h,
+                conv_kernel.astype(self.dtype),
+                conv_bias.astype(self.dtype),
+                ln_scale,
+                ln_bias,
+                head_kernel.astype(self.dtype),
+                head_bias.astype(jnp.float32),
+                cfg.layer_norm_eps,
+                True,
+            )
+        # pixel shuffle: (B, gh, gw, p, p, dh) → (B, gh·p, gw·p, dh)
+        h = h.reshape(b, gh, gw, p, p, dh).transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * p, gw * p, dh)
+
         h = jax.lax.conv_general_dilated(
             h.astype(self.dtype),
             conv_kernel.astype(self.dtype),
