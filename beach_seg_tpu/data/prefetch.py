@@ -15,6 +15,7 @@ assembly:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import Future, ThreadPoolExecutor
@@ -48,19 +49,31 @@ def prefetch_iterator(it: Iterable, depth: int = 2) -> Iterator:
 
 
 class MosaicPrefetcher:
-    """Schedules ``merge_tifs`` for upcoming dates on a thread pool."""
+    """Schedules ``merge_tifs`` for upcoming dates on a thread pool.
+
+    By default every date is scheduled immediately (``ahead=None``): the
+    consumer drains dates far faster than the host can merge them (device
+    dispatch is async), so holding merges back just serializes the stream
+    behind host CPU. Worker count is CPU-aware: merges CONTEND (each one
+    already fans its file decodes out on an inner pool, and the einsum
+    reprojection is CPU-hot) — on a 1-CPU host, 2 concurrent merges measured
+    ~35 s where serial background merges take ~0.6 s each, so concurrency
+    only scales with genuinely spare cores. Memory: one merged mosaic per
+    pending date at peak; pass an explicit ``ahead`` for very long scenes."""
 
     def __init__(
         self,
         date_paths: list[tuple[str, list[Path]]],
         merge_fn: Callable[[list[Path]], Any],
-        ahead: int = 2,
-        workers: int = 2,
+        ahead: int | None = None,
+        workers: int | None = None,
     ):
         self.date_paths = date_paths
         self.merge_fn = merge_fn
-        self.ahead = max(1, ahead)
-        self.pool = ThreadPoolExecutor(max_workers=workers)
+        self.ahead = len(date_paths) if ahead is None else max(1, ahead)
+        if workers is None:
+            workers = min(len(date_paths), max(1, (os.cpu_count() or 2) // 2))
+        self.pool = ThreadPoolExecutor(max_workers=max(1, workers))
         self.futures: dict[str, Future] = {}
 
     def _schedule(self, idx: int) -> None:
@@ -68,7 +81,16 @@ class MosaicPrefetcher:
             return
         date, paths = self.date_paths[idx]
         if date not in self.futures:
-            self.futures[date] = self.pool.submit(self.merge_fn, paths)
+            self.futures[date] = self.pool.submit(self._timed_merge, date, paths)
+
+    def _timed_merge(self, date: str, paths: list[Path]):
+        import logging
+        import time
+
+        t0 = time.perf_counter()
+        out = self.merge_fn(paths)
+        logging.getLogger(__name__).info("mosaic %s merged in %.2fs", date, time.perf_counter() - t0)
+        return out
 
     def __iter__(self) -> Iterator[tuple[str, Any]]:
         for i in range(min(self.ahead, len(self.date_paths))):
