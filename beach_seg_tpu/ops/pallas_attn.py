@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from beach_seg_tpu.ops.attention import attention_reference
+from beach_seg_tpu.ops.sharding import data_sharded_call
 
 
 def _pick_block(s: int, target: int = 784) -> int:
@@ -324,7 +325,8 @@ def fused_attention_qkv(qkv, rel_h, rel_w, scale: float, hk: int, wk: int, num_h
     Forward = _pallas_attention_qkv. Backward unpacks to the per-head layout
     once (training path only) and reuses the flash-style backward kernel."""
     interpret = jax.default_backend() != "tpu"
-    return _pallas_attention_qkv(qkv, rel_h, rel_w, scale, num_heads, interpret=interpret)
+    fn = lambda qkv, rh, rw: _pallas_attention_qkv(qkv, rh, rw, scale, num_heads, interpret=interpret)
+    return data_sharded_call(fn, (qkv, rel_h, rel_w), (True, True, True))
 
 
 def _qkv_fwd(qkv, rel_h, rel_w, scale, hk, wk, num_heads):
@@ -342,8 +344,9 @@ def _qkv_bwd(scale, hk, wk, num_heads, res, g):
     q, k, v = split[0], split[1], split[2]
     g = g.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3).reshape(bh, s, hd)
     interpret = jax.default_backend() != "tpu"
-    dq, dk, dv, drh, drw = _pallas_attention_bwd(
-        q, k, v, rel_h.reshape(bh, s, hk), rel_w.reshape(bh, s, wk), g, scale, interpret=interpret
+    bwd = lambda *a: _pallas_attention_bwd(*a, scale, interpret=interpret)
+    dq, dk, dv, drh, drw = data_sharded_call(
+        bwd, (q, k, v, rel_h.reshape(bh, s, hk), rel_w.reshape(bh, s, wk), g), (True,) * 6
     )
     dqkv = (
         jnp.stack([dq.astype(qkv.dtype), dk.astype(qkv.dtype), dv.astype(qkv.dtype)])
@@ -369,7 +372,8 @@ def fused_attention_merged(q, k, v, rel_h, rel_w, scale: float, hk: int, wk: int
     (_pallas_attention_bwd) on the (B·H, S, D) layout — the incoming
     cotangent is un-merged with one transpose (training path only)."""
     interpret = jax.default_backend() != "tpu"
-    return _pallas_attention_packed(q, k, v, rel_h, rel_w, scale, num_heads, interpret=interpret)
+    fn = lambda q, k, v, rh, rw: _pallas_attention_packed(q, k, v, rh, rw, scale, num_heads, interpret=interpret)
+    return data_sharded_call(fn, (q, k, v, rel_h, rel_w), (True,) * 5)
 
 
 def _merged_fwd(q, k, v, rel_h, rel_w, scale, hk, wk, num_heads):
@@ -383,9 +387,8 @@ def _merged_bwd(scale, hk, wk, num_heads, res, g):
     b = bh // num_heads
     g = g.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3).reshape(bh, s, d)
     interpret = jax.default_backend() != "tpu"
-    dq, dk, dv, drh, drw = _pallas_attention_bwd(
-        q, k, v, rel_h, rel_w, g, scale, interpret=interpret
-    )
+    bwd = lambda *a: _pallas_attention_bwd(*a, scale, interpret=interpret)
+    dq, dk, dv, drh, drw = data_sharded_call(bwd, (q, k, v, rel_h, rel_w, g), (True,) * 6)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), drh, drw
 
 

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from beach_seg_tpu.ops.sharding import data_sharded_call
+
 
 def _kernel(cur_ref, top_ref, bot_ref, wc_ref, bc_ref, ls_ref, lb_ref, wh_ref, bh_ref, out_ref,
             col_ref, *, p: int, dh: int, js: int, eps: float, approx: bool):
@@ -140,7 +142,11 @@ def decoder_tail(h, conv_w, conv_b, ln_scale, ln_bias, head_w, head_b, eps: floa
     """h: (B, R, GW, p·p·dh) decoder-embed output (pre pixel shuffle);
     conv_w: (3, 3, dh, dh). Returns the painted canvas (B, R·p, GW·p, 3) f32."""
     interpret = jax.default_backend() != "tpu"
-    return _pallas_decoder_tail(h, conv_w, conv_b, ln_scale, ln_bias, head_w, head_b, eps, approx, interpret=interpret)
+    fn = lambda *a: _pallas_decoder_tail(*a, eps, approx, interpret=interpret)
+    return data_sharded_call(
+        fn, (h, conv_w, conv_b, ln_scale, ln_bias, head_w, head_b),
+        (True, False, False, False, False, False, False),
+    )
 
 
 def _fwd(h, conv_w, conv_b, ln_scale, ln_bias, head_w, head_b, eps, approx):

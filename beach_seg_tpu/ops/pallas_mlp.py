@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from beach_seg_tpu.ops.sharding import data_sharded_call
+
 
 def _gelu_f32(h: jnp.ndarray, approx: bool) -> jnp.ndarray:
     return jax.nn.gelu(h, approximate=approx)
@@ -104,9 +106,19 @@ def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float, approx: bool)
     """LN → Lin1 → GELU → Lin2 on (..., C) input; weights in fp32 or compute
     dtype (cast by the caller). Returns the MLP output (no residual)."""
     shape = x.shape
-    x2d = x.reshape(-1, shape[-1])
+    # batch (dim 0) is the sharded axis for the multi-chip island — flatten
+    # only the middle dims so the row-block split stays per-shard
+    x2d = x.reshape(shape[0], -1, shape[-1])
     interpret = jax.default_backend() != "tpu"
-    out = _pallas_mlp(x2d, ln_scale, ln_bias, w1, b1, w2, b2, eps, approx, interpret=interpret)
+
+    def fn(x3, ln_scale, ln_bias, w1, b1, w2, b2):
+        b, m, c = x3.shape
+        out = _pallas_mlp(x3.reshape(b * m, c), ln_scale, ln_bias, w1, b1, w2, b2, eps, approx, interpret=interpret)
+        return out.reshape(b, m, c)
+
+    out = data_sharded_call(
+        fn, (x2d, ln_scale, ln_bias, w1, b1, w2, b2), (True, False, False, False, False, False, False)
+    )
     return out.reshape(shape)
 
 
