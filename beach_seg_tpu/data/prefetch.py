@@ -51,28 +51,31 @@ def prefetch_iterator(it: Iterable, depth: int = 2) -> Iterator:
 class MosaicPrefetcher:
     """Schedules ``merge_tifs`` for upcoming dates on a thread pool.
 
-    By default every date is scheduled immediately (``ahead=None``): the
-    consumer drains dates far faster than the host can merge them (device
-    dispatch is async), so holding merges back just serializes the stream
-    behind host CPU. Worker count is CPU-aware: merges CONTEND (each one
-    already fans its file decodes out on an inner pool, and the einsum
-    reprojection is CPU-hot) — on a 1-CPU host, 2 concurrent merges measured
-    ~35 s where serial background merges take ~0.6 s each, so concurrency
-    only scales with genuinely spare cores. Memory: one merged mosaic per
-    pending date at peak; pass an explicit ``ahead`` for very long scenes."""
+    The default look-ahead is bounded (``max(2, workers + 1)``): each
+    completed-but-unconsumed merge holds a full RGB mosaic in host memory, so
+    scheduling every date upfront makes peak memory O(dates) on many-date
+    scenes. ``ahead=None`` (schedule everything immediately) stays available
+    as an opt-in for short scenes where the consumer drains dates much faster
+    than the host merges them. Worker count is CPU-aware: merges CONTEND
+    (each one already fans its file decodes out on an inner pool, and the
+    einsum reprojection is CPU-hot) — on a 1-CPU host, 2 concurrent merges
+    measured ~35 s where serial background merges take ~0.6 s each, so
+    concurrency only scales with genuinely spare cores."""
 
     def __init__(
         self,
         date_paths: list[tuple[str, list[Path]]],
         merge_fn: Callable[[list[Path]], Any],
-        ahead: int | None = None,
+        ahead: int | None = "auto",  # type: ignore[assignment]
         workers: int | None = None,
     ):
         self.date_paths = date_paths
         self.merge_fn = merge_fn
-        self.ahead = len(date_paths) if ahead is None else max(1, ahead)
         if workers is None:
-            workers = min(len(date_paths), max(1, (os.cpu_count() or 2) // 2))
+            workers = min(len(date_paths) or 1, max(1, (os.cpu_count() or 2) // 2))
+        if ahead == "auto":
+            ahead = max(2, workers + 1)
+        self.ahead = len(date_paths) if ahead is None else max(1, ahead)
         self.pool = ThreadPoolExecutor(max_workers=max(1, workers))
         self.futures: dict[str, Future] = {}
 

@@ -96,22 +96,25 @@ def run_legacy(conf: LegacyConfig) -> Path:
 
     m_prompts = len(p_pixels)
 
-    def forward(params, query, pp, pm):
-        q = jnp.broadcast_to(query[None], pp.shape)
-        out = model.apply(
-            {"params": params}, q, pp, pm,
-            embedding_type="semantic", feature_ensemble=True, decode_query_only=True,
-        )
-        return out["pred_masks"][0]  # first canvas (ref :68)
-
     @jax.jit
     def batched(params, queries_u8):
         # uint8 in, uint8 out: normalize the staged prompts/queries and decode
-        # ON DEVICE — only uint8 crosses the slow tunnel in either direction
-        pp = normalize_device(jnp.asarray(p_pixels))
-        pm = normalize_device(jnp.asarray(p_masks))
-        queries = normalize_device(queries_u8)
-        canvases = jax.vmap(lambda q: forward(params, q, pp, pm))(queries)
+        # ON DEVICE — only uint8 crosses the slow tunnel in either direction.
+        # All Q ensembles run as ONE fused Q·P model batch (group-major) with
+        # the per-ensemble averaging grouped via ``ensemble_groups`` — the
+        # flat batch axis shards over the mesh data axis (a vmap over the
+        # kernels' shard_map islands is unpartitionable on a real mesh).
+        nq = queries_u8.shape[0]
+        pp = jnp.tile(normalize_device(jnp.asarray(p_pixels)), (nq, 1, 1, 1))
+        pm = jnp.tile(normalize_device(jnp.asarray(p_masks)), (nq, 1, 1, 1))
+        queries = jnp.repeat(normalize_device(queries_u8), m_prompts, axis=0)
+        out = model.apply(
+            {"params": params}, queries, pp, pm,
+            embedding_type="semantic", feature_ensemble=True,
+            decode_query_only=True, ensemble_groups=nq,
+        )
+        pred = out["pred_masks"]
+        canvases = pred.reshape((nq, m_prompts) + pred.shape[1:])[:, 0]  # first canvas (ref :68)
         return post_process_semantic_device(
             canvases, (conf.crop_size, conf.crop_size), num_classes - 1
         )

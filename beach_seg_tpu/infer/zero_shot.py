@@ -132,25 +132,31 @@ def run_zero_shot(conf: PredConfig) -> Path:
     params = load_model_params(conf.checkpoint, model, model_cfg)
     mesh = make_mesh(conf.mesh_data, conf.mesh_model)
 
-    def ensemble_forward(params, query, p_pixels, p_masks):
-        """One query (S,S,3) vs (P,S,S,3) prompts → mean painted canvas."""
-        q = jnp.broadcast_to(query[None], p_pixels.shape)
-        out = model.apply(
-            {"params": params}, q, p_pixels, p_masks,
-            embedding_type="instance", feature_ensemble=True, decode_query_only=True,
-        )
-        return out["pred_masks"].mean(axis=0)  # (2H, W, 3)
-
     @jax.jit
     def batched(params, queries_u8, p_pixels_u8, p_masks_u8):
-        # normalize the uint8 stages on device, decode on device: only uint8
-        # crosses the slow tunnel in either direction
-        queries = normalize_device(queries_u8)
-        p_pixels = normalize_device(p_pixels_u8)
-        p_masks = normalize_device(p_masks_u8)
-        canvases = jax.vmap(ensemble_forward, in_axes=(None, 0, 0, 0))(
-            params, queries, p_pixels, p_masks
+        """Q query ensembles in ONE fused model batch of Q·P rows.
+
+        queries (Q,s,s,3) u8, prompts (Q,P,s,s,3) u8 group-major. The
+        per-query prompt-ensemble mean runs inside the model via
+        ``ensemble_groups`` — unlike the previous vmap-of-ensembles
+        formulation, the whole batch axis is one flat Q·P dim that shards
+        over the mesh data axis (a vmap over the kernels' shard_map islands
+        sharded the P=2 prompt axis instead, which a real multi-chip mesh
+        cannot partition). Only uint8 crosses the tunnel in either direction:
+        normalize + decode stay on device.
+        """
+        nq, np_ = p_pixels_u8.shape[:2]
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])
+        queries = jnp.repeat(normalize_device(queries_u8), np_, axis=0)
+        p_pixels = normalize_device(flat(p_pixels_u8))
+        p_masks = normalize_device(flat(p_masks_u8))
+        out = model.apply(
+            {"params": params}, queries, p_pixels, p_masks,
+            embedding_type="instance", feature_ensemble=True,
+            decode_query_only=True, ensemble_groups=nq,
         )
+        pred = out["pred_masks"]
+        canvases = pred.reshape((nq, np_) + pred.shape[1:]).mean(axis=1)
         return post_process_semantic_device(canvases, (crop_size, crop_size), num_classes - 1)
 
     with jax.sharding.set_mesh(mesh):

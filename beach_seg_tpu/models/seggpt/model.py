@@ -287,25 +287,44 @@ class Block(nn.Module):
         ensemble_cond: int,
         feature_ensemble: bool = False,
         deterministic: bool = True,
+        ensemble_groups: int = 1,
+        streams: int = 2,
     ) -> jnp.ndarray:
         cfg = self.config
         attn_out = Attention(cfg, self.dtype, self.precision, self.attn_impl, name="attention")(
             LayerNorm(cfg.hidden_size, cfg.layer_norm_eps, name="layernorm_before")(x)
         )
 
-        if feature_ensemble and x.shape[0] // 2 >= ensemble_cond:
+        # ``streams`` is the PHYSICAL stream count of the batch (2 until the
+        # pixel/mask merge at merge_index has been applied — the merge happens
+        # after the block at merge_index, whose ensemble_cond is already 1).
+        per_group = x.shape[0] // (streams * ensemble_groups)
+        if feature_ensemble and streams * per_group // 2 >= ensemble_cond:
             # Average the query (bottom) half of the canvas across the prompt
-            # ensemble; before the stream merge the two batch halves (pixel /
-            # mask streams) are ensembled independently.
+            # ensemble. ``ensemble_groups`` generalizes the HF semantics
+            # (modeling_seggpt.py:426-436, = one group): the batch holds G
+            # independent ensembles of P prompts each, rows group-major, and
+            # the mean stays within each group — this keeps the batch axis
+            # data-shardable for multi-query zero-shot inference (one fused
+            # program instead of a vmap over the kernels' shard_map islands).
             half_h = attn_out.shape[1] // 2
             prompt_part, query_part = attn_out[:, :half_h], attn_out[:, half_h:]
             if ensemble_cond == 2:
-                num_prompts = attn_out.shape[0] // 2
-                qp = query_part.reshape(2, num_prompts, -1)
+                # pre-merge: pixel / mask streams ensembled independently
+                qp = query_part.reshape(2 * ensemble_groups, per_group, -1)
                 qp = jnp.broadcast_to(qp.mean(axis=1, keepdims=True), qp.shape)
-                query_part = qp.reshape(query_part.shape)
+            elif streams == 2:
+                # HF quirk parity: AT merge_index the cond-1 average runs
+                # while the batch still carries both streams, so the mean
+                # spans the pixel AND mask rows of each ensemble
+                # (modeling_seggpt.py else-branch: mean(dim=0) over the full
+                # 2P batch at G=1)
+                qp = query_part.reshape(2, ensemble_groups, per_group, -1)
+                qp = jnp.broadcast_to(qp.mean(axis=(0, 2), keepdims=True), qp.shape)
             else:
-                query_part = jnp.broadcast_to(query_part.mean(axis=0, keepdims=True), query_part.shape)
+                qp = query_part.reshape(ensemble_groups, per_group, -1)
+                qp = jnp.broadcast_to(qp.mean(axis=1, keepdims=True), qp.shape)
+            query_part = qp.reshape(query_part.shape)
             attn_out = jnp.concatenate([prompt_part, query_part], axis=1)
 
         rng1 = rng2 = None
@@ -338,6 +357,7 @@ class Encoder(nn.Module):
         x: jnp.ndarray,
         feature_ensemble: bool = False,
         deterministic: bool = True,
+        ensemble_groups: int = 1,
     ) -> list[jnp.ndarray]:
         cfg = self.config
         # torch.linspace in fp32 — match elementwise for drop-path parity.
@@ -346,11 +366,12 @@ class Encoder(nn.Module):
         intermediates = []
         # remat: recompute each block in backward — peak activation memory for
         # prompt-tuning backprop drops from 24 layers to 1 (trade FLOPs for HBM)
-        block_cls = nn.remat(Block, static_argnums=(2, 3, 4)) if self.remat else Block
+        block_cls = nn.remat(Block, static_argnums=(2, 3, 4, 5, 6)) if self.remat else Block
         for i in range(cfg.num_hidden_layers):
             ensemble_cond = 2 if cfg.merge_index > i else 1
+            streams = 2 if cfg.merge_index >= i else 1
             x = block_cls(cfg, float(dpr[i]), self.dtype, self.precision, self.attn_impl, name=f"layers_{i}")(
-                x, ensemble_cond, feature_ensemble, deterministic
+                x, ensemble_cond, feature_ensemble, deterministic, ensemble_groups, streams
             )
             if i == cfg.merge_index:
                 half = x.shape[0] // 2
@@ -389,6 +410,10 @@ class Decoder(nn.Module):
             ln_scale, ln_bias = LayerNorm(dh, cfg.layer_norm_eps, name="layernorm")(return_params=True)
             head_kernel = self.param("head_kernel", _trunc_normal(cfg.initializer_range), (dh, 3), jnp.float32)
             head_bias = self.param("head_bias", nn.initializers.zeros, (3,), jnp.float32)
+            # cast to the module dtype: the kernel accumulates the head in
+            # fp32, but flipping the env flag must not change the model's
+            # output dtype vs the default path below (downstream fetch sizes
+            # and palette-decode numerics assume the policy dtype)
             return decoder_tail(
                 h,
                 conv_kernel.astype(self.dtype),
@@ -399,7 +424,7 @@ class Decoder(nn.Module):
                 head_bias.astype(jnp.float32),
                 cfg.layer_norm_eps,
                 True,
-            )
+            ).astype(self.dtype)
         # pixel shuffle: (B, gh, gw, p, p, dh) → (B, gh·p, gw·p, dh)
         h = h.reshape(b, gh, gw, p, p, dh).transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * p, gw * p, dh)
 
@@ -479,6 +504,7 @@ class SegGPT(nn.Module):
         embedding_type: str = "instance",
         deterministic: bool = True,
         decode_query_only: bool = False,
+        ensemble_groups: int = 1,
     ):
         cfg = self.config
         pixel_canvas = jnp.concatenate([prompt_pixel_values, pixel_values], axis=1)
@@ -490,7 +516,7 @@ class SegGPT(nn.Module):
             pixel_canvas.astype(self.dtype), mask_canvas.astype(self.dtype), bool_masked_pos, embedding_type
         )
         intermediates = Encoder(cfg, self.dtype, self.precision, self.attn_impl, self.remat, name="encoder")(
-            x, feature_ensemble, deterministic
+            x, feature_ensemble, deterministic, ensemble_groups
         )
         feats = jnp.concatenate(intermediates, axis=-1)
         decoder = Decoder(cfg, self.dtype, self.precision, name="decoder")

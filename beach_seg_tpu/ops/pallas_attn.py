@@ -346,7 +346,8 @@ def _qkv_bwd(scale, hk, wk, num_heads, res, g):
     interpret = jax.default_backend() != "tpu"
     bwd = lambda *a: _pallas_attention_bwd(*a, scale, interpret=interpret)
     dq, dk, dv, drh, drw = data_sharded_call(
-        bwd, (q, k, v, rel_h.reshape(bh, s, hk), rel_w.reshape(bh, s, wk), g), (True,) * 6
+        bwd, (q, k, v, rel_h.reshape(bh, s, hk), rel_w.reshape(bh, s, wk), g), (True,) * 6,
+        batch_unit=num_heads,
     )
     dqkv = (
         jnp.stack([dq.astype(qkv.dtype), dk.astype(qkv.dtype), dv.astype(qkv.dtype)])
@@ -373,7 +374,7 @@ def fused_attention_merged(q, k, v, rel_h, rel_w, scale: float, hk: int, wk: int
     cotangent is un-merged with one transpose (training path only)."""
     interpret = jax.default_backend() != "tpu"
     fn = lambda q, k, v, rh, rw: _pallas_attention_packed(q, k, v, rh, rw, scale, num_heads, interpret=interpret)
-    return data_sharded_call(fn, (q, k, v, rel_h, rel_w), (True,) * 5)
+    return data_sharded_call(fn, (q, k, v, rel_h, rel_w), (True,) * 5, batch_unit=num_heads)
 
 
 def _merged_fwd(q, k, v, rel_h, rel_w, scale, hk, wk, num_heads):
@@ -388,7 +389,9 @@ def _merged_bwd(scale, hk, wk, num_heads, res, g):
     g = g.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3).reshape(bh, s, d)
     interpret = jax.default_backend() != "tpu"
     bwd = lambda *a: _pallas_attention_bwd(*a, scale, interpret=interpret)
-    dq, dk, dv, drh, drw = data_sharded_call(bwd, (q, k, v, rel_h, rel_w, g), (True,) * 6)
+    dq, dk, dv, drh, drw = data_sharded_call(
+        bwd, (q, k, v, rel_h, rel_w, g), (True,) * 6, batch_unit=num_heads
+    )
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), drh, drw
 
 

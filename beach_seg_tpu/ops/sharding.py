@@ -13,8 +13,14 @@ the island boundary).
 ``data_sharded_call`` wraps a kernel-invoking function with that island when
 a multi-device mesh is active (``jax.sharding.set_mesh`` — the engines enter
 one); on a single device or with no mesh it is a straight call. If the batch
-does not divide the data axis the wrapper also falls back to the straight
-call, preserving the (unsupported) status quo rather than miscomputing.
+does not divide the data axis the wrapper pads it up to the next multiple
+INSIDE the wrapper and slices the outputs back — emitting the kernel call
+unwrapped would be exactly the unpartitionable program this module exists to
+avoid. Padding happens in whole-batch units (``batch_unit``): callers whose
+operands carry a fused ``batch*heads`` leading dim pass ``batch_unit=heads``
+so a shard boundary never cuts through one batch element's heads (the packed
+kernels reshape dim 0 by ``num_heads`` internally and would fail to trace on
+a ragged shard).
 
 TP note: under a ``model`` axis the kernels compute replicated — entering the
 island forces an all-gather of any model-sharded operand. The pure-XLA
@@ -27,9 +33,11 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def _active_mesh():
@@ -39,26 +47,54 @@ def _active_mesh():
     return mesh
 
 
+def _axis_size(mesh, name: str) -> int:
+    if name not in mesh.axis_names:
+        return 1
+    return mesh.axis_sizes[mesh.axis_names.index(name)]
+
+
 def data_sharded_call(
     fn: Callable,
     args: Sequence,
     batched: Sequence[bool],
     out_batched: bool = True,
+    batch_unit: int = 1,
 ):
     """Run ``fn(*args)`` inside a full-manual shard_map over the active mesh.
 
-    ``batched[i]`` marks operands whose dim 0 is the batch (sharded over the
-    ``data`` axis); the rest are replicated. The output's dim 0 is batched
-    when ``out_batched``.
+    ``batched[i]`` marks operands whose dim 0 is ``batch * unit_i`` (sharded
+    over the ``data`` axis); the rest are replicated. Every batched operand
+    must share the same logical batch; ``batch_unit`` is the unit of the
+    SMALLEST batched dim 0 (e.g. ``num_heads`` when operands are (B·H, …)).
+    Outputs' dim 0 must also be a multiple of the logical batch when
+    ``out_batched``. Batches that do not divide the data axis are zero-padded
+    up to the next multiple (whole batch elements) and the outputs sliced
+    back — the kernels treat dim-0 rows independently, so padding rows are
+    inert.
     """
     mesh = _active_mesh()
     if mesh is None:
         return fn(*args)
-    n = mesh.axis_sizes[mesh.axis_names.index(DATA_AXIS)]
-    sizes = {a.shape[0] for a, b in zip(args, batched) if b}
-    if any(s % n for s in sizes):
-        return fn(*args)  # uneven batch: keep the pre-wrapper behavior
-    in_specs = tuple(P(DATA_AXIS) if b else P() for b in batched)
+    n = _axis_size(mesh, DATA_AXIS)
+    sizes = sorted({a.shape[0] for a, b in zip(args, batched) if b})
+    if not sizes:
+        return fn(*args)
+    b = sizes[0] // batch_unit  # logical batch
+    assert b * batch_unit == sizes[0] and all(s % b == 0 for s in sizes), (
+        f"batched dim0s {sizes} are not multiples of one logical batch "
+        f"(batch_unit={batch_unit})"
+    )
+    pb = -(-b // n) * n  # padded logical batch
+
+    def pad(a, is_b):
+        if not is_b or pb == b:
+            return a
+        unit = a.shape[0] // b
+        widths = [(0, (pb - b) * unit)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths)
+
+    padded = tuple(pad(a, isb) for a, isb in zip(args, batched))
+    in_specs = tuple(P(DATA_AXIS) if isb else P() for isb in batched)
     out_specs = P(DATA_AXIS) if out_batched else P()
     wrapped = jax.shard_map(
         fn,
@@ -68,4 +104,13 @@ def data_sharded_call(
         axis_names=set(mesh.axis_names),
         check_vma=False,
     )
-    return wrapped(*args)
+    out = wrapped(*padded)
+    if pb != b and out_batched:
+        # the sliced size no longer divides the data axis — pin the result to
+        # replicated so GSPMD has a representable layout (rare path: only for
+        # final ragged batches)
+        out = jax.tree.map(
+            lambda o: jax.lax.with_sharding_constraint(o[: (o.shape[0] // pb) * b], P()),
+            out,
+        )
+    return out

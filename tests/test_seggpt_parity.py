@@ -112,6 +112,41 @@ def test_forward_parity_feature_ensemble(setup):
     assert np.abs(ref - got).max() < 2e-4
 
 
+def test_grouped_feature_ensemble_matches_per_group_torch(setup):
+    """``ensemble_groups=G`` on one fused G·P batch must equal G independent
+    HF feature-ensemble calls (the zero-shot engine's fused formulation —
+    infer/zero_shot.py ``batched``)."""
+    _, cfg, tmodel, jmodel, params, _, _ = setup
+    rng = np.random.default_rng(7)
+    h, w = cfg.image_size[0] // 2, cfg.image_size[1]
+    g, p = 2, 2
+    q = rng.standard_normal((g, 3, h, w)).astype(np.float32)
+    pi = rng.standard_normal((g, p, 3, h, w)).astype(np.float32)
+    pm = rng.standard_normal((g, p, 3, h, w)).astype(np.float32)
+    refs = []
+    with torch.no_grad():
+        for i in range(g):
+            refs.append(
+                tmodel(
+                    pixel_values=torch.from_numpy(np.repeat(q[i : i + 1], p, 0)),
+                    prompt_pixel_values=torch.from_numpy(pi[i]),
+                    prompt_masks=torch.from_numpy(pm[i]),
+                    feature_ensemble=True,
+                ).pred_masks.numpy()
+            )
+    ref = np.concatenate(refs, 0)
+    out = jmodel.apply(
+        {"params": params},
+        to_nhwc(np.repeat(q, p, axis=0)),
+        to_nhwc(pi.reshape(g * p, 3, h, w)),
+        to_nhwc(pm.reshape(g * p, 3, h, w)),
+        feature_ensemble=True,
+        ensemble_groups=g,
+    )
+    got = np.transpose(np.asarray(out["pred_masks"]), (0, 3, 1, 2))
+    assert np.abs(ref - got).max() < 2e-4, np.abs(ref - got).max()
+
+
 def test_forward_parity_semantic_embedding(setup):
     _, cfg, tmodel, jmodel, params, inputs, _ = setup
     with torch.no_grad():
