@@ -97,6 +97,12 @@ def _pallas_mlp(x2d, ln_scale, ln_bias, w1, b1, w2, b2, eps, approx, interpret=F
             bytes_accessed=(2 * n * c + 2 * c * m) * 2,
             transcendentals=n * m,
         ),
+        # the two VMEM-resident weight matrices are 16 MB in bf16 — exactly
+        # the default scoped-vmem budget, so the row-block double buffers
+        # push some surrounding programs (the grouped-ensemble graphs) 1 MB
+        # over the 16 MB default limit at compile time. v5e has 128 MB of
+        # physical VMEM; raise the scoped ceiling for this kernel.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(x2d, ln_scale, ln_bias, w1, b1, w2, b2)
 

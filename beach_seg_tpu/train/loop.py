@@ -42,6 +42,17 @@ logger = logging.getLogger(__name__)
 
 
 def model_for_config(conf: BeachSegConfig) -> tuple[SegGPT, SegGPTConfig]:
+    dtype = jnp.bfloat16 if conf.compute_dtype == "bfloat16" else jnp.float32
+    ckpt = Path(str(conf.checkpoint))
+    if ckpt.suffix == ".npz" and ckpt.exists():
+        from beach_seg_tpu.models.seggpt.convert import load_config
+
+        stored = load_config(ckpt)
+        if stored is not None:
+            # a converted-checkpoint npz carries its own topology — it
+            # describes the weights, so it wins over the conf presets (same
+            # rule as infer/zero_shot.py zero_shot_model)
+            return SegGPT(stored, dtype=dtype, remat=conf.remat), stored
     if conf.debug:
         # miniature topology for smoke runs / CI — same control flow
         cfg = SegGPTConfig(
@@ -66,7 +77,6 @@ def model_for_config(conf: BeachSegConfig) -> tuple[SegGPT, SegGPTConfig]:
         )
     else:
         cfg = SegGPTConfig(image_size=(2 * conf.inpt_size, conf.inpt_size))
-    dtype = jnp.bfloat16 if conf.compute_dtype == "bfloat16" else jnp.float32
     return SegGPT(cfg, dtype=dtype, remat=conf.remat), cfg
 
 
