@@ -78,6 +78,13 @@ class MosaicPrefetcher:
         self.ahead = len(date_paths) if ahead is None else max(1, ahead)
         self.pool = ThreadPoolExecutor(max_workers=max(1, workers))
         self.futures: dict[str, Future] = {}
+        # schedule the first merges at CONSTRUCTION, not first iteration: the
+        # engines build the prefetcher before model load/upload/compile, so
+        # the first date's merge (pure host work, the single biggest exposed
+        # e2e stall — 3.1 s of 6.4 s stream in round 2's timings.json) hides
+        # under device setup instead of serializing after it
+        for i in range(min(self.ahead, len(self.date_paths))):
+            self._schedule(i)
 
     def _schedule(self, idx: int) -> None:
         if idx >= len(self.date_paths):

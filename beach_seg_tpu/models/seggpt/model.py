@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from beach_seg_tpu.models.seggpt.config import SegGPTConfig
-from beach_seg_tpu.ops.attention import attention_reference, rel_pos_terms, rel_pos_terms_heads
+from beach_seg_tpu.ops.attention import attention_reference, rel_pos_terms, rel_tables_padded
 from beach_seg_tpu.ops.resize import resize_2d
 
 
@@ -149,16 +149,18 @@ class Attention(nn.Module):
             rel_pos_w = self.param("rel_pos_w", _trunc_normal(cfg.initializer_range), (2 * gw - 1, hd), jnp.float32)
             rel_params = (rel_pos_h.astype(self.dtype), rel_pos_w.astype(self.dtype))
 
-        if use_fused and 2 * hd == 128 and c % 128 == 0:
+        if use_fused and 2 * hd == 128 and c % 128 == 0 and gh <= 64 and gw <= 64:
             # transpose-free path: the kernel reads q/k/v as 128-lane slices
             # of the fused qkv output and writes the merged (B, S, C) layout
             # directly — the (3, B·nH, S, hd) head split below costs ~3 ms of
-            # HBM copies per layer at B=32 and exists only for the fallbacks
-            from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv
+            # HBM copies per layer at B=32 and exists only for the fallbacks.
+            # The rel-pos bias TERMS are produced inside the kernel from the
+            # (tiny, jit-constant) interpolated tables: producing them outside
+            # cost ~3 ms/layer of batch-major einsum transposes at B=32.
+            from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
 
-            q4 = qkv[..., :c].reshape(b, gh, gw, nh, hd)
-            rel_h4, rel_w4 = rel_pos_terms_heads(q4, *rel_params, (gh, gw), (gh, gw), self.precision)
-            out = fused_attention_qkv(qkv, rel_h4, rel_w4, hd**-0.5, gh, gw, nh).reshape(b, gh, gw, c)
+            rh_tab, rw_tab = rel_tables_padded(*rel_params, (gh, gw), (gh, gw))
+            out = fused_attention_qkv_rel(qkv, rh_tab, rw_tab, hd**-0.5, gw, nh).reshape(b, gh, gw, c)
         else:
             # (B, S, 3, nH, hd) → (3, B·nH, S, hd)
             qkv = qkv.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4).reshape(3, b * nh, s, hd)

@@ -85,6 +85,76 @@ def rel_pos_terms_heads(
     return rel_h.reshape(b, nh, hq * wq, hk), rel_w.reshape(b, nh, hq * wq, wk)
 
 
+def rel_pos_terms_split(
+    q4: jnp.ndarray,
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    q_hw: tuple[int, int],
+    k_hw: tuple[int, int],
+    precision=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decomposed rel-pos terms in the qkv kernel's per-head 64-lane layout.
+
+    q4: (B, Hq, Wq, nH, head_dim) — a free reshape of the qkv matmul's q
+    columns. Returns ``rel_h64`` and ``rel_w64``, each (B, S, nH·64): head
+    n's 64-lane slot holds its Hk (resp. Wk) bias values zero-padded to 64.
+
+    Why this layout: the einsums keep the output in (b, y, x, n, k) order, so
+    no n↔s relayout is needed (the previous (B, nH, S, K) layout cost
+    ~3.3 ms/layer of pure transposes at B=32 on v5e), and the zero-padding
+    rides the STATIONARY rel tables (hq, 64, hd) — padded once, before the
+    einsum — so each einsum's (b, y, x, n, 64) output is stored exactly once:
+    no pad copy, no concat materialization (a fused single (B, S, nH·128)
+    output measured +2 ms/layer of XLA copies over the sum of its parts).
+    The Pallas kernel reads head-pair 128-lane blocks of each array directly
+    (pallas_attn._pallas_attention_qkv)."""
+    hq, wq = q_hw
+    hk, wk = k_hw
+    assert hk <= 64 and wk <= 64, (hk, wk)
+    b, _, _, nh, _ = q4.shape
+    rh = get_rel_pos(hq, hk, rel_pos_h)  # (hq, hk, hd)
+    rw = get_rel_pos(wq, wk, rel_pos_w)  # (wq, wk, hd)
+    rh = jnp.pad(rh, ((0, 0), (0, 64 - hk), (0, 0)))
+    rw = jnp.pad(rw, ((0, 0), (0, 64 - wk), (0, 0)))
+    rel_h = jnp.einsum("byxnc,ykc->byxnk", q4, rh, precision=precision)
+    rel_w = jnp.einsum("byxnc,xkc->byxnk", q4, rw, precision=precision)
+    return rel_h.reshape(b, hq * wq, nh * 64), rel_w.reshape(b, hq * wq, nh * 64)
+
+
+def rel_tables_padded(
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    q_hw: tuple[int, int],
+    k_hw: tuple[int, int],
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Interpolated rel-pos lookup tables, zero-padded to 64 key slots —
+    the operands of the rel-in-kernel attention path
+    (pallas_attn.fused_attention_qkv_rel). Returns (Hq, 64, hd), (Wq, 64, hd).
+
+    Tiny (≤1 MB) and input-independent: under jit these fold to constants,
+    so the whole per-layer rel-term production happens inside the kernel."""
+    hq, wq = q_hw
+    hk, wk = k_hw
+    assert hk <= 64 and wk <= 64, (hk, wk)
+    rh = get_rel_pos(hq, hk, rel_pos_h)  # (hq, hk, hd)
+    rw = get_rel_pos(wq, wk, rel_pos_w)  # (wq, wk, hd)
+    return (
+        jnp.pad(rh, ((0, 0), (0, 64 - hk), (0, 0))),
+        jnp.pad(rw, ((0, 0), (0, 64 - wk), (0, 0))),
+    )
+
+
+def pack_rel_terms(rel_h: jnp.ndarray, rel_w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, nH, S, Hk) + (B, nH, S, Wk) → the two (B, S, nH·64) padded arrays
+    (test/compat helper; the model produces the layout directly via
+    ``rel_pos_terms_split``)."""
+    b, nh, s, hk = rel_h.shape
+    wk = rel_w.shape[-1]
+    rh = jnp.pad(rel_h, ((0, 0), (0, 0), (0, 0), (0, 64 - hk))).transpose(0, 2, 1, 3)
+    rw = jnp.pad(rel_w, ((0, 0), (0, 0), (0, 0), (0, 64 - wk))).transpose(0, 2, 1, 3)
+    return rh.reshape(b, s, nh * 64), rw.reshape(b, s, nh * 64)
+
+
 def attention_reference(
     q: jnp.ndarray,
     k: jnp.ndarray,

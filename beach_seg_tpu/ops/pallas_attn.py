@@ -220,7 +220,7 @@ def _pallas_attention_packed(
     return out.reshape(b, num_heads, s, d).transpose(0, 2, 1, 3).reshape(b, s, num_heads * d)
 
 
-def _kernel_qkv(q_ref, k_ref, v_ref, rh_ref, rw_ref, out_ref, *, scale: float, wk: int, dp: int, hd: int):
+def _kernel_qkv(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref, *, scale: float, hd: int):
     """Two-heads-per-block packed attention reading the fused qkv layout.
 
     Mosaic requires output blocks whose last dim is a multiple of 128 lanes,
@@ -228,31 +228,34 @@ def _kernel_qkv(q_ref, k_ref, v_ref, rh_ref, rw_ref, out_ref, *, scale: float, w
     128-lane slices of the (B, S, 3C) qkv matmul output (no HBM transpose
     anywhere), split into per-head halves in VMEM, and the two attention
     outputs concatenate back into a 128-lane store at the head pair's channel
-    offset — the (B, S, C) merged layout falls out directly. Per-head math is
-    identical to _kernel_packed."""
+    offset — the (B, S, C) merged layout falls out directly.
+
+    Per head: ``qh = [q·scale ‖ rel_h64]`` against ``kh = [k ‖ Eh]`` — one
+    128-contraction MXU matmul yields q·kᵀ·scale + rel_h[q, k//Wk] (the
+    rel lanes ride the 64→128 padding head_dim=64 needs anyway), then
+    ``rel_w64 @ Ew`` adds the width bias as a second (64→128-padded)
+    expansion matmul. ``rh_ref``/``rw_ref`` carry the bias terms pre-padded
+    to per-head 64-lane slots (ops/attention.rel_pos_terms_split), so the
+    packing is pure 64-aligned slicing — no zero-fill, no iota, and the
+    0/1 expansion matrices Eh/Ew stream in as grid-constant operands instead
+    of being regenerated per grid step (the previous revision rebuilt both
+    every block)."""
     qb2 = q_ref[0]  # (BQ, 2·hd)
     kb2 = k_ref[0]  # (S, 2·hd)
     vb2 = v_ref[0]  # (S, 2·hd)
-    s = kb2.shape[0]
-    bq = qb2.shape[0]
-    hk = rh_ref.shape[-1]
-    ri = jax.lax.broadcasted_iota(jnp.int32, (s, hk), 0) // wk
-    ci = jax.lax.broadcasted_iota(jnp.int32, (s, hk), 1)
-    eh = (ri == ci).astype(kb2.dtype)
-    rj = jax.lax.broadcasted_iota(jnp.int32, (wk, s), 1) % wk
-    cj = jax.lax.broadcasted_iota(jnp.int32, (wk, s), 0)
-    ew = (rj == cj).astype(qb2.dtype)
+    rh2 = rh_ref[0]  # (BQ, 2·64)
+    rw2 = rw_ref[0]  # (BQ, 2·64)
+    eh = eh_ref[...]  # (S, 64)
+    ew = ew_ref[...]  # (64, S)
     halves = []
     for j in (0, 1):
         qb = qb2[:, j * hd : (j + 1) * hd]
         kb = kb2[:, j * hd : (j + 1) * hd]
         vb = vb2[:, j * hd : (j + 1) * hd]
-        rhb = rh_ref[0, j].astype(qb.dtype)
-        rwb = rw_ref[0, j].astype(qb.dtype)
-        pad = [jnp.zeros((bq, dp - hd - hk), qb.dtype)] if dp > hd + hk else []
-        qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb] + pad, axis=-1)
-        padk = [jnp.zeros((s, dp - hd - hk), kb.dtype)] if dp > hd + hk else []
-        kh = jnp.concatenate([kb, eh] + padk, axis=-1)
+        rhb = rh2[:, j * 64 : (j + 1) * 64].astype(qb.dtype)
+        rwb = rw2[:, j * 64 : (j + 1) * 64].astype(qb.dtype)
+        qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb], axis=-1)
+        kh = jnp.concatenate([kb, eh], axis=-1)
         scores = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -271,32 +274,41 @@ def _kernel_qkv(q_ref, k_ref, v_ref, rh_ref, rw_ref, out_ref, *, scale: float, w
 
 def _pallas_attention_qkv(
     qkv: jnp.ndarray,
-    rel_h: jnp.ndarray,
-    rel_w: jnp.ndarray,
+    rel_h64: jnp.ndarray,
+    rel_w64: jnp.ndarray,
     scale: float,
+    hk: int,
+    wk: int,
     num_heads: int,
     interpret: bool = False,
     block_q: int = 784,
 ) -> jnp.ndarray:
-    """qkv: (B, S, 3C) fused matmul output; rel_h: (B, nH, S, Hk); rel_w:
-    (B, nH, S, Wk). Returns (B, S, C) merged-head attention output.
+    """qkv: (B, S, 3C) fused matmul output; rel_h64/rel_w64: (B, S, nH·64) —
+    per-head 64-lane bias slots (ops/attention.rel_pos_terms_split).
+    Returns (B, S, C) merged-head attention output.
 
-    Requires head_dim·2 == 128 (the ViT-L flagship: C=1024, 16 heads of 64).
-    No transposes touch HBM on this path — the previous layout round-tripped
-    (3, B·H, S, D) + the merge, ~3 ms/layer of pure copies at B=32."""
+    Requires head_dim·2 == 128 (the ViT-L flagship: C=1024, 16 heads of 64)
+    and Hk, Wk ≤ 64. No transposes touch HBM on this path — neither for the
+    head split (the previous layout round-tripped (3, B·H, S, D) + the merge,
+    ~3 ms/layer of pure copies at B=32) nor for the rel terms (the previous
+    (B, nH, S, K) rel layout forced an n↔s minor-dim relayout of similar
+    cost, and a single concatenated (B, S, nH·128) operand cost ~2 ms/layer
+    of pad+concat copies)."""
     b, s, c3 = qkv.shape
     c = c3 // 3
     hd = c // num_heads
     assert 2 * hd == 128 and c % 128 == 0, (c, num_heads)
-    hk = rel_h.shape[-1]
-    wk = rel_w.shape[-1]
-    assert hk * wk == s, (hk, wk, s)
-    dp = -(-(hd + hk) // 128) * 128
+    assert hk * wk == s and hk <= 64 and wk <= 64, (hk, wk, s)
+    assert rel_h64.shape == (b, s, num_heads * 64), rel_h64.shape
+    assert rel_w64.shape == (b, s, num_heads * 64), rel_w64.shape
     bq = _pick_block(s, block_q)
     hp = num_heads // 2
     qblk = c // 128
     grid = (b, hp, s // bq)
-    kernel = functools.partial(_kernel_qkv, scale=scale, wk=wk, dp=dp, hd=hd)
+    ks = jnp.arange(s)
+    eh = (ks[:, None] // wk == jnp.arange(64)[None, :]).astype(qkv.dtype)  # (S, 64)
+    ew = (jnp.arange(64)[:, None] == ks[None, :] % wk).astype(qkv.dtype)  # (64, S)
+    kernel = functools.partial(_kernel_qkv, scale=scale, hd=hd)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -304,49 +316,57 @@ def _pallas_attention_qkv(
             pl.BlockSpec((1, bq, 128), lambda g, h, i: (g, i, h), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, 128), lambda g, h, i: (g, 0, qblk + h), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, 128), lambda g, h, i: (g, 0, 2 * qblk + h), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bq, hk), lambda g, h, i: (g, h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, bq, wk), lambda g, h, i: (g, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda g, h, i: (g, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda g, h, i: (g, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, s), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, 128), lambda g, h, i: (g, i, h), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * num_heads * s * s * (dp + hd),
+            flops=2 * b * num_heads * s * s * (128 + 64 + hd),
             bytes_accessed=qkv.size * 2 + b * s * c * 2,
             transcendentals=b * num_heads * s * s,
         ),
+        # fp32 operands (parity tests) push the streamed blocks + fp32 score
+        # tile past the 16 MB default scoped-vmem budget; v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(qkv, qkv, qkv, rel_h, rel_w)
+    )(qkv, qkv, qkv, rel_h64, rel_w64, eh, ew)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def fused_attention_qkv(qkv, rel_h, rel_w, scale: float, hk: int, wk: int, num_heads: int):
-    """Transpose-free fused attention on the (B, S, 3C) qkv layout.
+def fused_attention_qkv(qkv, rel_h64, rel_w64, scale: float, hk: int, wk: int, num_heads: int):
+    """Transpose-free fused attention on the (B, S, 3C) qkv layout with the
+    per-head 64-lane (B, S, nH·64) rel terms.
 
     Forward = _pallas_attention_qkv. Backward unpacks to the per-head layout
     once (training path only) and reuses the flash-style backward kernel."""
     interpret = jax.default_backend() != "tpu"
-    fn = lambda qkv, rh, rw: _pallas_attention_qkv(qkv, rh, rw, scale, num_heads, interpret=interpret)
-    return data_sharded_call(fn, (qkv, rel_h, rel_w), (True, True, True))
+    fn = lambda qkv, rh, rw: _pallas_attention_qkv(qkv, rh, rw, scale, hk, wk, num_heads, interpret=interpret)
+    return data_sharded_call(fn, (qkv, rel_h64, rel_w64), (True, True, True))
 
 
-def _qkv_fwd(qkv, rel_h, rel_w, scale, hk, wk, num_heads):
-    out = fused_attention_qkv(qkv, rel_h, rel_w, scale, hk, wk, num_heads)
-    return out, (qkv, rel_h, rel_w)
+def _qkv_fwd(qkv, rel_h64, rel_w64, scale, hk, wk, num_heads):
+    out = fused_attention_qkv(qkv, rel_h64, rel_w64, scale, hk, wk, num_heads)
+    return out, (qkv, rel_h64, rel_w64)
 
 
 def _qkv_bwd(scale, hk, wk, num_heads, res, g):
-    qkv, rel_h, rel_w = res
+    qkv, rel_h64, rel_w64 = res
     b, s, c3 = qkv.shape
     c = c3 // 3
     hd = c // num_heads
     bh = b * num_heads
     split = qkv.reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4).reshape(3, bh, s, hd)
     q, k, v = split[0], split[1], split[2]
+    rel_h = rel_h64.reshape(b, s, num_heads, 64)[..., :hk].transpose(0, 2, 1, 3).reshape(bh, s, hk)
+    rel_w = rel_w64.reshape(b, s, num_heads, 64)[..., :wk].transpose(0, 2, 1, 3).reshape(bh, s, wk)
     g = g.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3).reshape(bh, s, hd)
     interpret = jax.default_backend() != "tpu"
     bwd = lambda *a: _pallas_attention_bwd(*a, scale, interpret=interpret)
     dq, dk, dv, drh, drw = data_sharded_call(
-        bwd, (q, k, v, rel_h.reshape(bh, s, hk), rel_w.reshape(bh, s, wk), g), (True,) * 6,
+        bwd, (q, k, v, rel_h, rel_w, g), (True,) * 6,
         batch_unit=num_heads,
     )
     dqkv = (
@@ -355,14 +375,201 @@ def _qkv_bwd(scale, hk, wk, num_heads, res, g):
         .transpose(1, 3, 0, 2, 4)
         .reshape(b, s, c3)
     )
-    return (
-        dqkv,
-        drh.astype(rel_h.dtype).reshape(b, num_heads, s, hk),
-        drw.astype(rel_w.dtype).reshape(b, num_heads, s, wk),
-    )
+    drh4 = drh.reshape(b, num_heads, s, hk).transpose(0, 2, 1, 3)  # (b, s, nh, hk)
+    drw4 = drw.reshape(b, num_heads, s, wk).transpose(0, 2, 1, 3)
+    drh64 = jnp.pad(drh4, ((0, 0), (0, 0), (0, 0), (0, 64 - hk))).reshape(b, s, num_heads * 64)
+    drw64 = jnp.pad(drw4, ((0, 0), (0, 0), (0, 0), (0, 64 - wk))).reshape(b, s, num_heads * 64)
+    return dqkv, drh64.astype(rel_h64.dtype), drw64.astype(rel_w64.dtype)
 
 
 fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
+
+
+def _kernel_qkv_rel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref, *, scale: float, hd: int, gw: int):
+    """_kernel_qkv with the rel-pos TERMS produced inside the kernel.
+
+    The decomposed bias terms are per-q-row contractions of q with the
+    (interpolated, 64-slot-padded) rel tables:
+
+        rel_h[r, kh] = Σ_c q[r, c] · Rh[y(r), kh, c]      y(r) = r // Wq
+        rel_w[r, kw] = Σ_c q[r, c] · Rw[x(r), kw, c]      x(r) = r %  Wq
+
+    Producing them OUTSIDE the kernel costs ~3 ms/layer at B=32: the XLA
+    einsums are y-/x-batched, so composing them with the kernel inserts
+    batch-major transposes of q and of both outputs (measured copy.7/9 +
+    reshape.4/5 in the device trace). In here q is already VMEM-resident for
+    the score matmul, the q-block's rows factor exactly into (y, x) groups,
+    and Mosaic lowers small batched dots fine (measured 0.8 ms for the full
+    B·H sweep at this geometry vs 0.46 for a single big matmul) — so both
+    terms cost ~1 ms/layer of extra MXU work and ZERO HBM traffic. rel_w's
+    batch dim is x, which dot_general forces to lead the output, so it pays
+    two tiny (Yb, Wq, 64) VMEM transposes."""
+    qb2 = q_ref[0]  # (BQ, 2·hd)
+    kb2 = k_ref[0]  # (S, 2·hd)
+    vb2 = v_ref[0]  # (S, 2·hd)
+    rh_tab = rh_ref[...]  # (Yb, 64, hd) — this q-block's y rows of the table
+    rw_tab = rw_ref[...]  # (Wq, 64, hd)
+    eh = eh_ref[...]  # (S, 64)
+    ew = ew_ref[...]  # (64, S)
+    bq = qb2.shape[0]
+    yb = bq // gw
+    halves = []
+    for j in (0, 1):
+        qb = qb2[:, j * hd : (j + 1) * hd]
+        kb = kb2[:, j * hd : (j + 1) * hd]
+        vb = vb2[:, j * hd : (j + 1) * hd]
+        q3 = qb.reshape(yb, gw, hd)
+        rel_h = jax.lax.dot_general(
+            q3, rh_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (yb, gw, 64)
+        rhb = rel_h.reshape(bq, 64).astype(qb.dtype)
+        q3t = q3.transpose(1, 0, 2)  # (gw, yb, hd)
+        rw3 = jax.lax.dot_general(
+            q3t, rw_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (gw, yb, 64)
+        rwb = rw3.transpose(1, 0, 2).reshape(bq, 64).astype(qb.dtype)
+        qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb], axis=-1)
+        kh = jnp.concatenate([kb, eh], axis=-1)
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = scores + jax.lax.dot_general(
+            rwb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        r = jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        halves.append(out / r)
+    out_ref[0] = jnp.concatenate(halves, axis=-1).astype(out_ref.dtype)
+
+
+def _pallas_attention_qkv_rel(
+    qkv: jnp.ndarray,
+    rh_tab: jnp.ndarray,
+    rw_tab: jnp.ndarray,
+    scale: float,
+    num_heads: int,
+    interpret: bool = False,
+    block_q: int = 784,
+) -> jnp.ndarray:
+    """qkv: (B, S, 3C); rh_tab: (Gh, 64, hd) / rw_tab: (Gw, 64, hd) — the
+    get_rel_pos-interpolated tables zero-padded to 64 key slots. Returns
+    (B, S, C) merged-head attention output with the decomposed rel-pos bias
+    terms produced inside the kernel (see _kernel_qkv_rel)."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // num_heads
+    gh, gw = rh_tab.shape[0], rw_tab.shape[0]
+    assert 2 * hd == 128 and c % 128 == 0, (c, num_heads)
+    assert gh * gw == s and gh <= 64 and gw <= 64, (gh, gw, s)
+    assert rh_tab.shape == (gh, 64, hd) and rw_tab.shape == (gw, 64, hd), (rh_tab.shape, rw_tab.shape)
+    bq = _pick_block(s, block_q)
+    if bq % gw:
+        bq = s  # q-blocks must cover whole y rows
+    yb = bq // gw
+    hp = num_heads // 2
+    qblk = c // 128
+    grid = (b, hp, s // bq)
+    ks = jnp.arange(s)
+    eh = (ks[:, None] // gw == jnp.arange(64)[None, :]).astype(qkv.dtype)  # (S, 64)
+    ew = (jnp.arange(64)[:, None] == ks[None, :] % gw).astype(qkv.dtype)  # (64, S)
+    kernel = functools.partial(_kernel_qkv_rel, scale=scale, hd=hd, gw=gw)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 128), lambda g, h, i: (g, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 128), lambda g, h, i: (g, 0, qblk + h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 128), lambda g, h, i: (g, 0, 2 * qblk + h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((yb, 64, hd), lambda g, h, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gw, 64, hd), lambda g, h, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, s), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 128), lambda g, h, i: (g, i, h), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * num_heads * s * (s * (128 + 64 + hd) + 128 * hd),
+            bytes_accessed=qkv.size * 2 + b * s * c * 2,
+            transcendentals=b * num_heads * s * s,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rh_tab, rw_tab, eh, ew)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_attention_qkv_rel(qkv, rh_tab, rw_tab, scale: float, gw: int, num_heads: int):
+    """Transpose-free fused attention on the (B, S, 3C) qkv layout with the
+    decomposed rel-pos terms produced INSIDE the kernel from the padded
+    (Gh, 64, hd)/(Gw, 64, hd) tables.
+
+    Forward = _pallas_attention_qkv_rel. Backward recomputes the rel TERMS
+    in XLA (the y-batched einsums — training path only), runs the flash-style
+    backward kernel, and folds the term cotangents back onto q and the
+    tables."""
+    interpret = jax.default_backend() != "tpu"
+    fn = lambda qkv, rh, rw: _pallas_attention_qkv_rel(qkv, rh, rw, scale, num_heads, interpret=interpret)
+    return data_sharded_call(fn, (qkv, rh_tab, rw_tab), (True, False, False))
+
+
+def _qkv_rel_fwd(qkv, rh_tab, rw_tab, scale, gw, num_heads):
+    out = fused_attention_qkv_rel(qkv, rh_tab, rw_tab, scale, gw, num_heads)
+    return out, (qkv, rh_tab, rw_tab)
+
+
+def _qkv_rel_bwd(scale, gw, num_heads, res, g):
+    qkv, rh_tab, rw_tab = res
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // num_heads
+    gh = s // gw
+    bh = b * num_heads
+    hk = rh_tab.shape[0]
+    wk = rw_tab.shape[0]
+    split = qkv.reshape(b, s, 3, num_heads, hd).transpose(2, 0, 3, 1, 4).reshape(3, bh, s, hd)
+    q, k, v = split[0], split[1], split[2]
+    # recompute the rel terms (XLA einsums — same math as the kernel; the
+    # tables' padded slots are zero so the terms vanish there and the bwd
+    # kernel's unpadded hk/wk view is exact)
+    q5 = qkv[..., :c].reshape(b, gh, gw, num_heads, hd)
+    rhs = jnp.einsum("byxnc,ykc->bnyxk", q5, rh_tab)
+    rws = jnp.einsum("byxnc,xkc->bnyxk", q5, rw_tab)
+    rel_h = rhs.reshape(b, num_heads, s, 64)[..., :hk].reshape(bh, s, hk).astype(qkv.dtype)
+    rel_w = rws.reshape(b, num_heads, s, 64)[..., :wk].reshape(bh, s, wk).astype(qkv.dtype)
+    g2 = g.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3).reshape(bh, s, hd)
+    interpret = jax.default_backend() != "tpu"
+    bwd = lambda *a: _pallas_attention_bwd(*a, scale, interpret=interpret)
+    dq, dk, dv, drh, drw = data_sharded_call(
+        bwd, (q, k, v, rel_h, rel_w, g2), (True,) * 6,
+        batch_unit=num_heads,
+    )
+    # fold the term cotangents back onto q and the tables
+    drh5 = drh.reshape(b, num_heads, gh, gw, hk)
+    drw5 = drw.reshape(b, num_heads, gh, gw, wk)
+    dq_rel = jnp.einsum("bnyxk,ykc->bnyxc", drh5, rh_tab[:, :hk]) + jnp.einsum(
+        "bnyxk,xkc->bnyxc", drw5, rw_tab[:, :wk]
+    )
+    dq = dq + dq_rel.reshape(bh, s, hd).astype(dq.dtype)
+    drh_tab = jnp.pad(
+        jnp.einsum("bnyxk,byxnc->ykc", drh5, q5), ((0, 0), (0, 64 - hk), (0, 0))
+    ).astype(rh_tab.dtype)
+    drw_tab = jnp.pad(
+        jnp.einsum("bnyxk,byxnc->xkc", drw5, q5), ((0, 0), (0, 64 - wk), (0, 0))
+    ).astype(rw_tab.dtype)
+    dqkv = (
+        jnp.stack([dq.astype(qkv.dtype), dk.astype(qkv.dtype), dv.astype(qkv.dtype)])
+        .reshape(3, b, num_heads, s, hd)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(b, s, c3)
+    )
+    return dqkv, drh_tab, drw_tab
+
+
+fused_attention_qkv_rel.defvjp(_qkv_rel_fwd, _qkv_rel_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))

@@ -137,7 +137,7 @@ def _qkv_reference(qkv, rel_pos_h, rel_pos_w, b, nh, hd, gh, gw):
 
 
 def test_qkv_kernel_matches_reference(qkv_inputs):
-    from beach_seg_tpu.ops.attention import rel_pos_terms_heads
+    from beach_seg_tpu.ops.attention import rel_pos_terms_split
     from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv
 
     qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
@@ -145,14 +145,33 @@ def test_qkv_kernel_matches_reference(qkv_inputs):
     c = nh * hd
     ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
     q4 = qkv[..., :c].reshape(b, gh, gw, nh, hd)
-    rel_h4, rel_w4 = rel_pos_terms_heads(q4, rph, rpw, (gh, gw), (gh, gw))
-    got = fused_attention_qkv(qkv, rel_h4, rel_w4, hd**-0.5, gh, gw, nh)
+    rel_h64, rel_w64 = rel_pos_terms_split(q4, rph, rpw, (gh, gw), (gh, gw))
+    got = fused_attention_qkv(qkv, rel_h64, rel_w64, hd**-0.5, gh, gw, nh)
     assert got.shape == (b, s, c)
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
 
 
+def test_rel_pos_terms_split_layout(qkv_inputs):
+    """The 64-lane-slot layout must equal the head-major terms repacked."""
+    from beach_seg_tpu.ops.attention import (
+        pack_rel_terms,
+        rel_pos_terms_heads,
+        rel_pos_terms_split,
+    )
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    c = nh * hd
+    q4 = qkv[..., :c].reshape(b, gh, gw, nh, hd)
+    rel_h4, rel_w4 = rel_pos_terms_heads(q4, rph, rpw, (gh, gw), (gh, gw))
+    want_h, want_w = pack_rel_terms(rel_h4, rel_w4)
+    got_h, got_w = rel_pos_terms_split(q4, rph, rpw, (gh, gw), (gh, gw))
+    assert got_h.shape == (b, gh * gw, nh * 64)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w), atol=1e-5)
+
+
 def test_qkv_kernel_gradients_match(qkv_inputs):
-    from beach_seg_tpu.ops.attention import rel_pos_terms_heads
+    from beach_seg_tpu.ops.attention import rel_pos_terms_split
     from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv
 
     qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
@@ -160,8 +179,8 @@ def test_qkv_kernel_gradients_match(qkv_inputs):
 
     def loss_fused(qkv):
         q4 = qkv[..., :c].reshape(b, gh, gw, nh, hd)
-        rel_h4, rel_w4 = rel_pos_terms_heads(q4, rph, rpw, (gh, gw), (gh, gw))
-        return jnp.sum(fused_attention_qkv(qkv, rel_h4, rel_w4, hd**-0.5, gh, gw, nh) ** 2)
+        rel_h64, rel_w64 = rel_pos_terms_split(q4, rph, rpw, (gh, gw), (gh, gw))
+        return jnp.sum(fused_attention_qkv(qkv, rel_h64, rel_w64, hd**-0.5, gh, gw, nh) ** 2)
 
     def loss_ref(qkv):
         return jnp.sum(_qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw) ** 2)
@@ -170,3 +189,41 @@ def test_qkv_kernel_gradients_match(qkv_inputs):
     g_ref = jax.grad(loss_ref)(qkv)
     err = np.abs(np.asarray(g_fused) - np.asarray(g_ref)).max()
     assert err / np.abs(np.asarray(g_ref)).max() < 1e-5
+
+
+def test_qkv_rel_kernel_matches_reference(qkv_inputs):
+    """The rel-in-kernel path (tables in, terms produced inside the kernel)."""
+    from beach_seg_tpu.ops.attention import rel_tables_padded
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    s = gh * gw
+    c = nh * hd
+    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
+    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
+    got = fused_attention_qkv_rel(qkv, rh_tab, rw_tab, hd**-0.5, gw, nh)
+    assert got.shape == (b, s, c)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
+
+
+def test_qkv_rel_kernel_gradients_match(qkv_inputs):
+    """Gradients w.r.t. qkv AND the rel tables through the rel-in-kernel
+    custom_vjp must match the reference formulation."""
+    from beach_seg_tpu.ops.attention import rel_tables_padded
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    c = nh * hd
+
+    def loss_fused(qkv, rph, rpw):
+        rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
+        return jnp.sum(fused_attention_qkv_rel(qkv, rh_tab, rw_tab, hd**-0.5, gw, nh) ** 2)
+
+    def loss_ref(qkv, rph, rpw):
+        return jnp.sum(_qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(qkv, rph, rpw)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, rph, rpw)
+    for a, r in zip(g_fused, g_ref):
+        err = np.abs(np.asarray(a) - np.asarray(r)).max()
+        assert err / max(np.abs(np.asarray(r)).max(), 1e-9) < 1e-5

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from beach_seg_tpu.ops.attention import attention_reference
+from beach_seg_tpu.ops.attention import attention_reference, pack_rel_terms
 from beach_seg_tpu.ops.pallas_attn import fused_attention_merged, fused_attention_qkv
 from beach_seg_tpu.ops.sharding import data_sharded_call
 from beach_seg_tpu.parallel.mesh import make_mesh
@@ -75,14 +75,15 @@ def test_qkv_kernel_uneven_batch():
     qkv = jnp.asarray(rng.standard_normal((b, s, 3 * c)), jnp.float32)
     rh = jnp.asarray(rng.standard_normal((b, nh, s, hk)), jnp.float32)
     rw = jnp.asarray(rng.standard_normal((b, nh, s, wk)), jnp.float32)
+    rel_h64, rel_w64 = pack_rel_terms(rh, rw)
     scale = hd**-0.5
 
     # single-device oracle (no mesh → straight call)
-    want = np.asarray(fused_attention_qkv(qkv, rh, rw, scale, hk, wk, nh))
+    want = np.asarray(fused_attention_qkv(qkv, rel_h64, rel_w64, scale, hk, wk, nh))
 
     mesh = _mesh()
     with jax.sharding.set_mesh(mesh):
-        got = jax.jit(lambda *a: fused_attention_qkv(*a, scale, hk, wk, nh))(qkv, rh, rw)
+        got = jax.jit(lambda *a: fused_attention_qkv(*a, scale, hk, wk, nh))(qkv, rel_h64, rel_w64)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
 
@@ -99,7 +100,7 @@ def test_padded_island_gradients_match():
     scale = hd**-0.5
 
     def loss(qkv, rh, rw):
-        out = fused_attention_qkv(qkv, rh, rw, scale, hk, wk, nh)
+        out = fused_attention_qkv(qkv, *pack_rel_terms(rh, rw), scale, hk, wk, nh)
         return jnp.sum(out * out)
 
     want = jax.grad(loss, argnums=(0, 1, 2))(qkv, rh, rw)
