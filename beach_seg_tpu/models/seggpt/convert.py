@@ -22,6 +22,11 @@ def _np(t) -> np.ndarray:
     return np.asarray(t)
 
 
+def _qkv3(a: np.ndarray) -> np.ndarray:
+    """(…, 3C) qkv weight/bias → (…, 3, C) (the TP-shardable layout)."""
+    return a.reshape(a.shape[:-1] + (3, a.shape[-1] // 3))
+
+
 def convert_torch_state_dict(sd: Mapping[str, Any], config: SegGPTConfig) -> dict:
     """HF torch state dict → flax params (plain nested dict of np arrays)."""
     g = lambda k: _np(sd[k])
@@ -53,7 +58,9 @@ def convert_torch_state_dict(sd: Mapping[str, Any], config: SegGPTConfig) -> dic
             "layernorm_before": ln(f"{p}.layernorm_before"),
             "layernorm_after": ln(f"{p}.layernorm_after"),
             "attention": {
-                "qkv_kernel": g(f"{p}.attention.qkv.weight").T,
+                # stored (C, 3, C) — the last (head-major) dim is the TP
+                # shard dim (parallel/mesh._TP_RULES, model.py Attention)
+                "qkv_kernel": _qkv3(g(f"{p}.attention.qkv.weight").T),
                 "proj_kernel": g(f"{p}.attention.proj.weight").T,
                 "proj_bias": g(f"{p}.attention.proj.bias"),
             },
@@ -65,7 +72,7 @@ def convert_torch_state_dict(sd: Mapping[str, Any], config: SegGPTConfig) -> dic
             },
         }
         if config.qkv_bias:
-            layer["attention"]["qkv_bias"] = g(f"{p}.attention.qkv.bias")
+            layer["attention"]["qkv_bias"] = _qkv3(g(f"{p}.attention.qkv.bias"))
         if config.use_relative_position_embeddings:
             layer["attention"]["rel_pos_h"] = g(f"{p}.attention.rel_pos_h")
             layer["attention"]["rel_pos_w"] = g(f"{p}.attention.rel_pos_w")
@@ -146,7 +153,14 @@ def load_params(path: Path | str) -> dict:
         parts = key.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = data[key]
+        arr = data[key]
+        # older checkpoints stored qkv as (C, 3C)/(3C,) — reshape to the
+        # current TP-shardable (C, 3, C)/(3, C) layout (values identical)
+        if parts[-1] == "qkv_kernel" and arr.ndim == 2:
+            arr = _qkv3(arr)
+        elif parts[-1] == "qkv_bias" and arr.ndim == 1:
+            arr = _qkv3(arr)
+        node[parts[-1]] = arr
     return params
 
 

@@ -136,11 +136,19 @@ class Attention(nn.Module):
         nh, hd = cfg.num_attention_heads, cfg.head_dim
         s = gh * gw
 
-        qkv_kernel = self.param("qkv_kernel", _trunc_normal(cfg.initializer_range), (c, 3 * c), jnp.float32)
-        qkv = jnp.dot(x.reshape(b, s, c).astype(self.dtype), qkv_kernel.astype(self.dtype), precision=self.precision)
+        # (C, 3, C) rather than (C, 3C): under tensor parallelism the LAST dim
+        # (head-major channels) shards over the mesh model axis, giving each
+        # shard whole head blocks of q, k and v — a (C, 3C) layout would put
+        # shard boundaries across the q/k/v split (contiguous 3C/mp blocks mix
+        # streams) and force a reshard at every kernel island
+        qkv_kernel = self.param("qkv_kernel", _trunc_normal(cfg.initializer_range), (c, 3, c), jnp.float32)
+        qkv4 = jnp.einsum(
+            "bsc,ctd->bstd", x.reshape(b, s, c).astype(self.dtype),
+            qkv_kernel.astype(self.dtype), precision=self.precision,
+        )
         if cfg.qkv_bias:
-            qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3 * c,), jnp.float32)
-            qkv = qkv + qkv_bias.astype(self.dtype)
+            qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3, c), jnp.float32)
+            qkv4 = qkv4 + qkv_bias.astype(self.dtype)
 
         use_fused = self.impl in ("fused", "auto") and cfg.use_relative_position_embeddings
         rel_params = None
@@ -160,10 +168,10 @@ class Attention(nn.Module):
             from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
 
             rh_tab, rw_tab = rel_tables_padded(*rel_params, (gh, gw), (gh, gw))
-            out = fused_attention_qkv_rel(qkv, rh_tab, rw_tab, hd**-0.5, gw, nh).reshape(b, gh, gw, c)
+            out = fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, hd**-0.5, gw, nh).reshape(b, gh, gw, c)
         else:
             # (B, S, 3, nH, hd) → (3, B·nH, S, hd)
-            qkv = qkv.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4).reshape(3, b * nh, s, hd)
+            qkv = qkv4.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4).reshape(3, b * nh, s, hd)
             q, k, v = qkv[0], qkv[1], qkv[2]
             rel_h = rel_w = None
             if rel_params is not None:

@@ -110,22 +110,116 @@ def _pallas_mlp(x2d, ln_scale, ln_bias, w1, b1, w2, b2, eps, approx, interpret=F
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float, approx: bool):
     """LN → Lin1 → GELU → Lin2 on (..., C) input; weights in fp32 or compute
-    dtype (cast by the caller). Returns the MLP output (no residual)."""
+    dtype (cast by the caller). Returns the MLP output (no residual).
+
+    Tensor parallelism: with a ``model`` axis of size mp > 1 the island runs
+    the classic Megatron MLP split — w1 column-sharded, w2 row-sharded over
+    the hidden dim M, each shard computing a PARTIAL output that a ``psum``
+    over the model axis completes (b2 enters as b2/mp so the sum restores it
+    exactly up to fp addition order). No weight or activation all-gather; the
+    per-shard VMEM-resident weights shrink by mp. With model=1 everything
+    degenerates to the data-only island."""
+    from beach_seg_tpu.ops.sharding import MODEL_AXIS, model_axis_size
+
     shape = x.shape
     # batch (dim 0) is the sharded axis for the multi-chip island — flatten
     # only the middle dims so the row-block split stays per-shard
     x2d = x.reshape(shape[0], -1, shape[-1])
     interpret = jax.default_backend() != "tpu"
+    mp = model_axis_size()
+    tp = mp > 1 and w1.shape[1] % mp == 0
 
     def fn(x3, ln_scale, ln_bias, w1, b1, w2, b2):
         b, m, c = x3.shape
-        out = _pallas_mlp(x3.reshape(b * m, c), ln_scale, ln_bias, w1, b1, w2, b2, eps, approx, interpret=interpret)
+        b2_loc = b2 / mp if tp else b2
+        out = _pallas_mlp(x3.reshape(b * m, c), ln_scale, ln_bias, w1, b1, w2, b2_loc, eps, approx, interpret=interpret)
+        if tp:
+            out = jax.lax.psum(out, MODEL_AXIS)
         return out.reshape(b, m, c)
 
     out = data_sharded_call(
-        fn, (x2d, ln_scale, ln_bias, w1, b1, w2, b2), (True, False, False, False, False, False, False)
+        fn, (x2d, ln_scale, ln_bias, w1, b1, w2, b2),
+        (True, False, False, False, False, False, False),
+        model_dims=(None, None, None, 1, 0, 0, None) if tp else None,
     )
     return out.reshape(shape)
+
+
+def _gelu_grad_f32(h: jnp.ndarray, approx: bool) -> jnp.ndarray:
+    """d/dh gelu(h) in fp32 (both the tanh and erf formulations)."""
+    if approx:
+        c = 0.7978845608028654  # sqrt(2/pi)
+        u = c * (h + 0.044715 * h**3)
+        t = jnp.tanh(u)
+        return 0.5 * (1.0 + t) + 0.5 * h * (1.0 - t * t) * c * (1.0 + 3 * 0.044715 * h * h)
+    inv_sqrt2 = 0.7071067811865476
+    inv_sqrt2pi = 0.3989422804014327
+    return 0.5 * (1.0 + jax.lax.erf(h * inv_sqrt2)) + h * jnp.exp(-0.5 * h * h) * inv_sqrt2pi
+
+
+def _kernel_dx(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, g_ref, dx_ref, *, eps: float, approx: bool):
+    """Activation-gradient (dx) backward with VMEM-resident weights.
+
+    Recomputes LN → lin1 → GELU' per row block, then dh = (g·w2ᵀ)∘gelu'(h),
+    dln = dh·w1ᵀ, and the LayerNorm vjp — three resident-weight matmuls and
+    one GELU-derivative pass, no HBM weight re-reads per block."""
+    x = x_ref[...]
+    g = g_ref[...]
+    ls = ls_ref[...]
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    ln = (xhat * ls + lb_ref[...]).astype(x.dtype)
+    hpre = jax.lax.dot_general(
+        ln, w1_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b1_ref[...]
+    a = _gelu_grad_f32(hpre, approx)
+    dh = jax.lax.dot_general(
+        g, w2_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * a
+    dln = jax.lax.dot_general(
+        dh.astype(x.dtype), w1_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dxhat = dln * ls
+    c = x.shape[-1]
+    dx = (
+        dxhat
+        - dxhat.mean(-1, keepdims=True)
+        - xhat * (dxhat * xhat).sum(-1, keepdims=True) / c
+    ) * rstd
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _pallas_mlp_dx(x2d, ln_scale, ln_bias, w1, b1, w2, g2d, eps, approx, interpret=False):
+    n, c = x2d.shape
+    m = w1.shape[1]
+    # smaller row blocks than forward: three (BR, M) fp32 intermediates live
+    br = _pick_rows(n, target=128)
+    kernel = functools.partial(_kernel_dx, eps=eps, approx=approx)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // br,),
+        in_specs=[
+            pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c), x2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * c * m,
+            bytes_accessed=(3 * n * c + 2 * c * m) * 2,
+            transcendentals=n * m,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(x2d, ln_scale, ln_bias, w1, b1, w2, g2d)
 
 
 def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, approx):
@@ -136,9 +230,33 @@ def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, approx):
 def _bwd(eps, approx, res, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = res
     shape = x.shape
-    ref = lambda *args: _mlp_reference(*args, eps, approx).reshape(shape)
-    _, vjp = jax.vjp(ref, x, ln_scale, ln_bias, w1, b1, w2, b2)
-    return vjp(g)
+    interpret = jax.default_backend() != "tpu"
+
+    # dx — the prompt-tuning hot path (the backbone is FROZEN, so the weight
+    # cotangents below are dead code XLA eliminates) — via a fused
+    # resident-weights Pallas kernel instead of the XLA recompute
+    x3 = x.reshape(shape[0], -1, shape[-1])
+    g3 = g.reshape(shape[0], -1, shape[-1])
+
+    def fn(x3, g3, ln_scale, ln_bias, w1, b1, w2):
+        b, m, c = x3.shape
+        out = _pallas_mlp_dx(
+            x3.reshape(b * m, c), ln_scale, ln_bias, w1, b1, w2,
+            g3.reshape(b * m, c), eps, approx, interpret=interpret,
+        )
+        return out.reshape(b, m, c)
+
+    dx = data_sharded_call(
+        fn, (x3, g3, ln_scale, ln_bias, w1, b1, w2),
+        (True, True, False, False, False, False, False),
+    ).reshape(shape)
+
+    # parameter cotangents via the XLA recompute — eliminated entirely when
+    # only dx is consumed (frozen backbone), duplicated recompute otherwise
+    ref = lambda ls, lb, w1_, b1_, w2_, b2_: _mlp_reference(x, ls, lb, w1_, b1_, w2_, b2_, eps, approx).reshape(shape)
+    _, vjp = jax.vjp(ref, ln_scale, ln_bias, w1, b1, w2, b2)
+    dls, dlb, dw1, db1, dw2, db2 = vjp(g)
+    return dx, dls, dlb, dw1, db1, dw2, db2
 
 
 fused_ln_mlp.defvjp(_fwd, _bwd)

