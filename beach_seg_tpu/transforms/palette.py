@@ -62,12 +62,19 @@ def apply_palette(palette: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     returns NCHW — layout is the only divergence).
     """
     ids = mask.astype(jnp.int32)
-    rgb = jnp.take_along_axis(
-        palette.astype(jnp.float32)[:, :, None, :],  # (B, N, 1, 3)
-        ids.reshape(ids.shape[0], 1, -1, 1),  # (B, 1, H·W, 1)
-        axis=1,
-    )  # (B, 1, H·W, 3)
-    return rgb.reshape(ids.shape[0], *ids.shape[1:], 3) / 255.0
+    # select-accumulate over the (small, static) class count instead of a
+    # take_along_axis gather: per-pixel dynamic gathers run at ~1.6 GB/s on
+    # TPU (25 ms/step at B=8 in the train-step device trace); N multiply-adds
+    # of (B, H, W, 1)×(B, 1, 1, 3) are plain VPU broadcasting. Values are
+    # exact — each output pixel is one palette entry, no arithmetic mixing.
+    pal = palette.astype(jnp.float32)  # (B, N, 3)
+    n = pal.shape[1]
+    sel = ids[..., None]  # (B, H, W, 1)
+    rgb = jnp.zeros((*ids.shape, 3), jnp.float32)
+    for cls in range(n):
+        color = pal[:, cls].reshape(pal.shape[0], *([1] * (ids.ndim - 1)), 3)
+        rgb = jnp.where(sel == cls, color, rgb)
+    return rgb / 255.0
 
 
 def normalize_palette(
