@@ -140,10 +140,10 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
                 device — the axon tunnel moves fresh data at only a few MB/s,
                 so only the small crop-resolution result crosses), vote paste.
 
-                Runs on ONE worker thread (pastes stay ordered) while the main
-                thread keeps dispatching device steps — host work and
-                accumulator writes overlap TPU compute instead of serializing
-                with it.
+                Runs in the drain loop after the per-date async copies land —
+                on this 1-vCPU host, threading the pastes under the dispatch
+                loop is negative-sum (measured round 2), so host paste work
+                happens once the device queue is empty.
 
                 Overlay note: the reference pastes the query image after a
                 crop→448→crop resize round-trip (predict.py:258); with raw
@@ -173,7 +173,33 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
             t_setup = time.perf_counter()
             n_tiles = 0
             t_dispatch = t_mosaic = 0.0
-            all_batches, all_results = [], []
+            pending: list[tuple[list, object]] = []  # (batches, device concat) per date
+            date_batches: list = []
+            date_results: list = []
+
+            def seal_date():
+                """Concatenate the date's results ON DEVICE and start their
+                device→host copy immediately: the transfer (and the compute it
+                waits on) overlaps the NEXT date's dispatches instead of
+                draining as one exposed fetch after the last dispatch
+                (round-2 timings.json: fetch 2.6 s of a 6.4 s stream). The
+                uint8 results are a few KB/tile, so per-date copies keep the
+                one-big-transfer economics while issuing concurrently — the
+                tunnel serializes a LONE fetch behind every queued dispatch."""
+                if not date_results:
+                    return
+                dcat = (
+                    jnp.concatenate(date_results, axis=0)
+                    if len(date_results) > 1 else date_results[0]
+                )
+                try:
+                    dcat.copy_to_host_async()
+                except Exception:  # interpret/CPU arrays may not support it
+                    pass
+                pending.append((list(date_batches), dcat))
+                date_batches.clear()
+                date_results.clear()
+
             t_mark = time.perf_counter()
             for date, (merged_img, merged_nodata) in merger:
                 t_mosaic += time.perf_counter() - t_mark
@@ -203,30 +229,26 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
                             out_size=conf.crop_size,
                         )
                     t_dispatch += time.perf_counter() - t0
-                    all_batches.append(batch)
-                    all_results.append(result)
+                    date_batches.append(batch)
+                    date_results.append(result)
                     n_tiles += int(batch["valid"].sum())
+                seal_date()
                 t_mark = time.perf_counter()
-            # ONE device→host fetch for the whole scene: each fetch through
-            # the tunnel carries seconds of fixed latency regardless of size,
-            # so the uint8 results (a few KB/tile) concatenate on device and
-            # cross once. Dispatches above are async — the fetch is also the
-            # sync point for all device work.
+            # drain: by now every date's copy is in flight (or done), so the
+            # np.asarray calls mostly find host-resident buffers — only the
+            # LAST date's compute tail is exposed here
             t_fetch = t_paste = 0.0
-            if all_results:
+            for batches, dcat in pending:
                 t0 = time.perf_counter()
-                res = np.asarray(
-                    jnp.concatenate(all_results, axis=0)
-                    if len(all_results) > 1 else all_results[0]
-                )
-                t_fetch = time.perf_counter() - t0
+                res = np.asarray(dcat)
+                t_fetch += time.perf_counter() - t0
                 t0 = time.perf_counter()
                 ofs = 0
-                for b in all_batches:
+                for b in batches:
                     n = len(b["valid"])
                     paste(b, res[ofs : ofs + n])
                     ofs += n
-                t_paste = time.perf_counter() - t0
+                t_paste += time.perf_counter() - t0
             t_stream = time.perf_counter()
 
     # phase timings for benchmarking/observability (read by scripts/bench_e2e.py)

@@ -107,6 +107,26 @@ def main() -> int:
 
     enable_compilation_cache()
 
+    # Watchdog: topology/PJRT-client construction must be quick when the
+    # environment is healthy, but a DOWN compile-service tunnel makes it hang
+    # indefinitely (observed: 25 min with zero output) INSIDE a C call —
+    # SIGALRM's Python handler never runs while the main thread is blocked in
+    # C, so the only reliable bound is a daemon thread that hard-exits the
+    # process. A hung init is an environment condition → SKIP (rc=0).
+    import os
+    import threading
+
+    def _init_watchdog():
+        print(
+            f"SKIP: cannot build topology {args.topology}: PJRT/topology init "
+            "exceeded 300s (compile service down or hung)",
+            flush=True,
+        )
+        os._exit(0)
+
+    watchdog = threading.Timer(300, _init_watchdog)
+    watchdog.daemon = True
+    watchdog.start()
     try:
         from jax.experimental import topologies
 
@@ -118,6 +138,8 @@ def main() -> int:
     except Exception as e:  # no TPU plugin / topology construction failure
         print(f"SKIP: cannot build topology {args.topology}: {type(e).__name__}: {str(e)[:300]}")
         return 0
+    finally:
+        watchdog.cancel()
     print(f"topology {args.topology} → mesh {mesh}")
 
     import dataclasses
