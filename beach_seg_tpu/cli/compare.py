@@ -59,6 +59,11 @@ def _present(cm: np.ndarray) -> np.ndarray:
 def main() -> None:
     if len(sys.argv) != 3:
         raise SystemExit(__doc__)
+    # mask comparison is a few host-side confusion matrices — never worth a
+    # (possibly tunneled, possibly down) TPU backend init
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     print(json.dumps(compare_dirs(Path(sys.argv[1]), Path(sys.argv[2])), indent=2))
 
 

@@ -16,7 +16,7 @@ from beach_seg_tpu.utils.confix import parse_cli
 
 def main(argv: list[str] | None = None) -> None:
     conf = parse_cli(PredictionConfig, sys.argv[1:] if argv is None else argv)
-    maybe_initialize(conf.world_size)
+    maybe_initialize(conf.world_size, conf.platform)
     print(run_predict(conf))
 
 

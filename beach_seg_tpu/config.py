@@ -40,6 +40,12 @@ class BeachSegConfig:
     mesh_model: int = 1
     # compute dtype for the frozen backbone matmuls; params stay fp32.
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # JAX platform override ("cpu" | "tpu" | "" = runtime default). The env
+    # var JAX_PLATFORMS is unreliable on hosts whose sitecustomize force-sets
+    # jax_platforms at interpreter start, so the engines apply this via
+    # jax.config before first device use — the only way a CLI subprocess can
+    # be pinned (e.g. tests pin "cpu" so a down TPU tunnel can't fail them).
+    platform: str = ""
     deterministic: bool = False
     # observability (SURVEY.md §5: absent in the reference, first-class here)
     profile: bool = False  # jax.profiler trace → <run_dir>/profile (TB plugin)

@@ -62,6 +62,7 @@ def resolve_config(pred_conf: PredictionConfig) -> BeachSegConfig:
         "mesh_data": pred_conf.mesh_data,
         "mesh_model": pred_conf.mesh_model,
         "compute_dtype": pred_conf.compute_dtype,
+        "platform": pred_conf.platform,
     }
     # keep the train run's checkpoint unless explicitly overridden on the CLI
     if pred_conf.checkpoint != BeachSegConfig().checkpoint:

@@ -21,11 +21,15 @@ logger = logging.getLogger(__name__)
 _POD_ENV_VARS = ("COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
 
 
-def maybe_initialize(world_size: int = 1) -> None:
+def maybe_initialize(world_size: int = 1, platform: str = "") -> None:
     """Initialize jax.distributed when running multi-process."""
     # every CLI funnels through here before touching devices — the right spot
-    # to arm the persistent XLA compilation cache (cold ViT-L jit: minutes;
-    # cached: ~20 ms)
+    # to pin the platform (conf.platform: JAX_PLATFORMS is force-overridden
+    # by sitecustomize on some hosts, so only jax.config works) and to arm
+    # the persistent XLA compilation cache (cold ViT-L jit: minutes; cached:
+    # ~20 ms). Must run before the first backend touch below.
+    if platform:
+        jax.config.update("jax_platforms", platform)
     from beach_seg_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()

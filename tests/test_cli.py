@@ -14,6 +14,9 @@ from tests.synthetic_scene import OTHER_DATES, build_scene
 ENV_ARGS = [
     "crop_size=32", "inpt_size=64", "batch_size=2", "debug=true",
     "checkpoint=random", "mesh_data=1", "mesh_model=1", "num_viz_images=0",
+    # pin the subprocess to CPU: JAX_PLATFORMS is force-overridden by the
+    # host sitecustomize, and a down TPU tunnel must not fail a CLI test
+    "platform=cpu",
 ]
 
 
