@@ -33,15 +33,21 @@ class Affine:
         """North-up transform: pixel (0,0) top-left at (west, north)."""
         return cls(xsize, 0.0, west, 0.0, -ysize, north)
 
-    def __mul__(self, other: "Affine") -> "Affine":
-        return Affine(
-            self.a * other.a + self.b * other.d,
-            self.a * other.b + self.b * other.e,
-            self.a * other.c + self.b * other.f + self.c,
-            self.d * other.a + self.e * other.d,
-            self.d * other.b + self.e * other.e,
-            self.d * other.c + self.e * other.f + self.f,
-        )
+    def __mul__(self, other):
+        # affine-package semantics: Affine * Affine composes; Affine * (x, y)
+        # transforms a point (the idiom rasterio users write as
+        # ``~transform * (x, y)``, ref geo_util.py usage of the affine pkg)
+        if isinstance(other, Affine):
+            return Affine(
+                self.a * other.a + self.b * other.d,
+                self.a * other.b + self.b * other.e,
+                self.a * other.c + self.b * other.f + self.c,
+                self.d * other.a + self.e * other.d,
+                self.d * other.b + self.e * other.e,
+                self.d * other.c + self.e * other.f + self.f,
+            )
+        col, row = other
+        return self.apply(col, row)
 
     def __invert__(self) -> "Affine":
         det = self.a * self.e - self.b * self.d

@@ -88,6 +88,11 @@ def tif_image(data: np.ndarray, nodata: np.ndarray) -> np.ndarray:
         min_val = img[:, ~nodata].min()
         img = img.clip(min_val, 3000 + min_val) - min_val
         img -= img[:, ~nodata].min()
+        # promote integer rasters (Dove tifs are uint16) before the per-channel
+        # normalize: the reference's in-place /= crashes on integer input
+        # (geo_util.py:464 UFuncTypeError) — float values are identical
+        if not np.issubdtype(img.dtype, np.floating):
+            img = img.astype(np.float64)
         for i in range(3):
             img[i] /= img[i].max()
             img[i][nodata] = 0

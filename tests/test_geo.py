@@ -37,6 +37,39 @@ def test_affine_bounds():
     assert bounds(t, (10, 20)) == (0.0, 80.0, 40.0, 100.0)
 
 
+def test_affine_mul_point():
+    """affine-package idiom: ``transform * (col, row)`` transforms a point,
+    ``~transform * (x, y)`` inverts one (used by the notebooks to reload
+    exported shapefile lines into pixel space)."""
+    t = Affine.from_origin(500000.0, 4100000.0, 3.0, 3.0)
+    assert t * (10, 20) == t.apply(10, 20)
+    x, y = t * (10, 20)
+    c, r = ~t * (x, y)
+    assert (round(c), round(r)) == (10, 20)
+    # composition with another Affine still works
+    assert isinstance(t * Affine.identity(), Affine)
+    assert (t * Affine.identity()).to_tuple() == t.to_tuple()
+
+
+def test_tif_image_uint16():
+    """tif_image must render integer (uint16 Dove) rasters — the reference's
+    in-place normalize crashes on them (geo_util.py:464)."""
+    from beach_seg_tpu.geo.display import tif_image
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(100, 5000, (4, 16, 16)).astype(np.uint16)
+    nodata = np.zeros((16, 16), bool)
+    nodata[:2] = True
+    img = tif_image(data, nodata)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    assert img[nodata].max() == 0 and img[~nodata].max() > 0
+    # float input (the reference's working path): near-identical — integer
+    # input truncates the B=mean(b1,b2) channel into the uint16 buffer (the
+    # reference's own dtype semantics), so allow ±2 display counts
+    imgf = tif_image(data.astype(np.float64), nodata)
+    assert np.abs(img.astype(int) - imgf.astype(int)).max() <= 2
+
+
 # --------------------------------------------------------------- geometry
 
 

@@ -174,6 +174,34 @@ def test_params_npz_round_trip(setup, tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_params_npz_legacy_qkv_layout(setup, tmp_path):
+    """Checkpoints written before the TP-shardable (C, 3, C) qkv layout stored
+    qkv_kernel as (C, 3C) and qkv_bias as (3C,) — load_params must reshape
+    them (values identical)."""
+    _, cfg, _, _, params, _, _ = setup
+    legacy = jax.tree.map(np.asarray, params)
+
+    def flatten_qkv(node):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                flatten_qkv(v)
+            elif k == "qkv_kernel":
+                node[k] = v.reshape(v.shape[0], -1)
+            elif k == "qkv_bias":
+                node[k] = v.reshape(-1)
+
+    flatten_qkv(legacy)
+    save_params(legacy, tmp_path / "legacy.npz")
+    loaded = load_params(tmp_path / "legacy.npz")
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = jax.tree_util.tree_leaves_with_path(jax.tree.map(jnp.asarray, loaded))
+    assert len(flat1) == len(flat2)
+    for (p1, a), (p2, b) in zip(flat1, flat2):
+        assert p1 == p2
+        assert np.asarray(a).shape == np.asarray(b).shape
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_droppath_stochastic_train_mode(setup):
     """Drop-path must be active (stochastic) in train mode, identity in eval."""
     tcfg, cfg, _, _, params, inputs, _ = setup
