@@ -176,72 +176,93 @@ def run_zero_shot(conf: PredConfig) -> Path:
             to_run,
             lambda paths: merge_tifs(paths, scene.out_shape, scene.out_transform, scene.crs),
         )
-        for date, (merged_img, merged_nodata) in merger:
-            merged_img = merged_img.copy()
-            merged_img[merged_nodata, 1] = 255
+        def drain(sealed) -> None:
+            """Fetch a sealed date's ids and paste/export its outputs.
+
+            Called AFTER the next date's dispatches are queued (one-date
+            double buffer), so the fetch — which syncs on that date's device
+            work — overlaps the following date's compute instead of exposing
+            it. Memory stays bounded: at most two merged mosaics live."""
+            date, merged_img, merged_nodata, done, dcat = sealed
             with VoteAccumulator(
                 scene.out_shape, predict_dir, scene.out_transform, scene.crs,
                 conf.classes, export_lines=True,
             ) as acc:
-                pending: list[tuple[int, np.ndarray, np.ndarray]] = []
-                done: list[int] = []  # crop indices in dispatch order
-                results: list = []  # device uint8 id batches (lazy)
-
-                def dispatch():
-                    """Async device dispatch of one padded ensemble batch —
-                    no host fetch here (fetches carry seconds of fixed
-                    latency; the date's results download in ONE fetch)."""
-                    if not pending:
-                        return
-                    n = len(pending)
-                    queries = np.stack([p[1] for p in pending])
-                    sel = np.stack([p[2] for p in pending])  # (n, P)
-                    # pad to the batch size so jit sees one shape
-                    if n < q_batch:
-                        queries = np.concatenate([queries, np.repeat(queries[-1:], q_batch - n, 0)])
-                        sel = np.concatenate([sel, np.repeat(sel[-1:], q_batch - n, 0)])
-                    # query axis shards over the mesh data axis (one ensemble
-                    # per device slot); prompt gathers happen on device
-                    bs = batch_sharding(mesh)
-                    sel_j = jax.device_put(jnp.asarray(sel), bs)
-                    results.append(batched(
-                        params,
-                        jax.device_put(jnp.asarray(queries), bs),
-                        jnp.take(pp, sel_j, axis=0),
-                        jnp.take(pm, sel_j, axis=0),
-                    )[:n])
-                    done.extend(p[0] for p in pending)
-                    pending.clear()
-
-                for crop_idx, crop in enumerate(crops):
-                    crop_img, crop_nodata, _ = crop_tif(crop, merged_img, merged_nodata, None, crop_size)
-                    if np.all(crop_nodata):
-                        continue
-                    if crop_idx in best_crop_idxes[: conf.n_prompts]:
-                        crop_idxes = best_crop_idxes[: conf.n_prompts].tolist()
-                    else:
-                        crop_idxes = [crop_idx] + best_crop_idxes[: conf.n_prompts - 1].tolist()
-                    pending.append(
-                        (crop_idx, preprocess_image_u8(crop_img, size), np.asarray(crop_idxes, np.int32))
+                preds = np.asarray(dcat).astype(np.int32)
+                for crop_idx, pred in zip(done, preds):
+                    _, crop_nodata, _ = crop_tif(
+                        crops[crop_idx], merged_img, merged_nodata, None, crop_size
                     )
-                    if len(pending) == q_batch:
-                        dispatch()
-                dispatch()
+                    pred = pred.copy()
+                    pred[crop_nodata.astype(bool)] = 0  # ref :303
+                    one_hot = np.eye(num_classes, dtype=np.int32)[pred]
+                    acc.update(
+                        date, crops[crop_idx], one_hot,
+                        date_img=merged_img, date_nodata=merged_nodata,
+                    )
 
-                if results:
-                    preds = np.asarray(
-                        jnp.concatenate(results, axis=0) if len(results) > 1 else results[0]
-                    ).astype(np.int32)
-                    for crop_idx, pred in zip(done, preds):
-                        _, crop_nodata, _ = crop_tif(
-                            crops[crop_idx], merged_img, merged_nodata, None, crop_size
-                        )
-                        pred = pred.copy()
-                        pred[crop_nodata.astype(bool)] = 0  # ref :303
-                        one_hot = np.eye(num_classes, dtype=np.int32)[pred]
-                        acc.update(
-                            date, crops[crop_idx], one_hot,
-                            date_img=merged_img, date_nodata=merged_nodata,
-                        )
+        sealed_prev = None
+        for date, (merged_img, merged_nodata) in merger:
+            merged_img = merged_img.copy()
+            merged_img[merged_nodata, 1] = 255
+            pending: list[tuple[int, np.ndarray, np.ndarray]] = []
+            done: list[int] = []  # crop indices in dispatch order
+            results: list = []  # device uint8 id batches (lazy)
+
+            def dispatch():
+                """Async device dispatch of one padded ensemble batch —
+                no host fetch here (fetches carry seconds of fixed
+                latency; the date's results download in ONE fetch)."""
+                if not pending:
+                    return
+                n = len(pending)
+                queries = np.stack([p[1] for p in pending])
+                sel = np.stack([p[2] for p in pending])  # (n, P)
+                # pad to the batch size so jit sees one shape
+                if n < q_batch:
+                    queries = np.concatenate([queries, np.repeat(queries[-1:], q_batch - n, 0)])
+                    sel = np.concatenate([sel, np.repeat(sel[-1:], q_batch - n, 0)])
+                # query axis shards over the mesh data axis (one ensemble
+                # per device slot); prompt gathers happen on device
+                bs = batch_sharding(mesh)
+                sel_j = jax.device_put(jnp.asarray(sel), bs)
+                results.append(batched(
+                    params,
+                    jax.device_put(jnp.asarray(queries), bs),
+                    jnp.take(pp, sel_j, axis=0),
+                    jnp.take(pm, sel_j, axis=0),
+                )[:n])
+                done.extend(p[0] for p in pending)
+                pending.clear()
+
+            for crop_idx, crop in enumerate(crops):
+                crop_img, crop_nodata, _ = crop_tif(crop, merged_img, merged_nodata, None, crop_size)
+                if np.all(crop_nodata):
+                    continue
+                if crop_idx in best_crop_idxes[: conf.n_prompts]:
+                    crop_idxes = best_crop_idxes[: conf.n_prompts].tolist()
+                else:
+                    crop_idxes = [crop_idx] + best_crop_idxes[: conf.n_prompts - 1].tolist()
+                pending.append(
+                    (crop_idx, preprocess_image_u8(crop_img, size), np.asarray(crop_idxes, np.int32))
+                )
+                if len(pending) == q_batch:
+                    dispatch()
+            dispatch()
+
+            sealed = None
+            if results:
+                dcat = jnp.concatenate(results, axis=0) if len(results) > 1 else results[0]
+                try:
+                    dcat.copy_to_host_async()
+                except Exception:  # interpret/CPU arrays may not support it
+                    pass
+                sealed = (date, merged_img, merged_nodata, done, dcat)
+            # this date's work is queued — NOW pay the previous date's fetch
+            if sealed_prev is not None:
+                drain(sealed_prev)
+            sealed_prev = sealed
+        if sealed_prev is not None:
+            drain(sealed_prev)
     logger.info("done")
     return predict_dir
