@@ -385,7 +385,10 @@ def _qkv_bwd(scale, hk, wk, num_heads, res, g):
 fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
 
 
-def _kernel_qkv_rel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref, *, scale: float, hd: int, gw: int):
+def _kernel_qkv_rel(
+    q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref,
+    *, scale: float, hd: int, gw: int, exp2: bool = False, skip_max: bool = False,
+):
     """_kernel_qkv with the rel-pos TERMS produced inside the kernel.
 
     The decomposed bias terms are per-q-row contractions of q with the
@@ -436,14 +439,26 @@ def _kernel_qkv_rel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref
         scores = scores + jax.lax.dot_general(
             rwb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
+        # `exp2`: the wrapper pre-folds log2(e) into `scale` AND the rel
+        # tables, so scores are already in base-2 log space — exp2 is the
+        # VPU's native transcendental (exp lowers to exp2 + a multiply pass
+        # over the full (BQ, S) tile). `skip_max`: drop the max-subtraction
+        # stability pass (safe while |scores| < ~88/127; opt-in).
+        texp = jnp.exp2 if exp2 else jnp.exp
+        if skip_max:
+            p = texp(scores)
+        else:
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            p = texp(scores - m)
         r = jnp.sum(p, axis=-1, keepdims=True)
         out = jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         halves.append(out / r)
     out_ref[0] = jnp.concatenate(halves, axis=-1).astype(out_ref.dtype)
+
+
+_LOG2E = 1.4426950408889634
 
 
 def _pallas_attention_qkv_rel(
@@ -454,6 +469,8 @@ def _pallas_attention_qkv_rel(
     num_heads: int,
     interpret: bool = False,
     block_q: int = 784,
+    exp2: bool = False,
+    skip_max: bool = False,
 ) -> jnp.ndarray:
     """qkv: (B, S, 3C); rh_tab: (Gh, 64, hd) / rw_tab: (Gw, 64, hd) — the
     get_rel_pos-interpolated tables zero-padded to 64 key slots. Returns
@@ -476,7 +493,17 @@ def _pallas_attention_qkv_rel(
     ks = jnp.arange(s)
     eh = (ks[:, None] // gw == jnp.arange(64)[None, :]).astype(qkv.dtype)  # (S, 64)
     ew = (jnp.arange(64)[:, None] == ks[None, :] % gw).astype(qkv.dtype)  # (64, S)
-    kernel = functools.partial(_kernel_qkv_rel, scale=scale, hd=hd, gw=gw)
+    if exp2:
+        # move the softmax into base-2 log space: exp(s) == exp2(s·log2e),
+        # with log2e folded into the score scale and the (jit-constant) rel
+        # tables — zero extra work anywhere, one fewer full-tile VPU multiply
+        # inside the kernel's exp
+        scale = scale * _LOG2E
+        rh_tab = rh_tab * _LOG2E
+        rw_tab = rw_tab * _LOG2E
+    kernel = functools.partial(
+        _kernel_qkv_rel, scale=scale, hd=hd, gw=gw, exp2=exp2, skip_max=skip_max
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -521,17 +548,25 @@ def fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, scale: float, gw: int, num_hea
     in XLA (the y-batched einsums — training path only), runs the flash-style
     backward kernel, and folds the term cotangents back onto q and the
     tables."""
+    import os
+
     from beach_seg_tpu.ops.sharding import model_axis_size
 
     interpret = jax.default_backend() != "tpu"
     b, s, three, c = qkv4.shape
     mp = model_axis_size()
+    # softmax micro-variants (measured knobs; see _kernel_qkv_rel docstring):
+    # exp2 is numerically equivalent (log2e folded into scale + tables);
+    # NO_MAX drops the stability pass and requires |logits| < ~88
+    exp2 = os.environ.get("BEACH_SEG_TPU_ATTN_EXP2", "") not in ("", "0")
+    skip_max = os.environ.get("BEACH_SEG_TPU_ATTN_NO_MAX", "") not in ("", "0")
 
     def fn(qkv4_loc, rh, rw):
         bl, sl, _, cl = qkv4_loc.shape
         nh_loc = num_heads * cl // c
         return _pallas_attention_qkv_rel(
-            qkv4_loc.reshape(bl, sl, 3 * cl), rh, rw, scale, nh_loc, interpret=interpret
+            qkv4_loc.reshape(bl, sl, 3 * cl), rh, rw, scale, nh_loc,
+            interpret=interpret, exp2=exp2, skip_max=skip_max,
         )
 
     if mp > 1 and num_heads % mp == 0 and (num_heads // mp) % 2 == 0:

@@ -28,8 +28,10 @@ from beach_seg_tpu.utils.profiling import enable_compilation_cache
 
 enable_compilation_cache()
 
-BATCH = 32
-ITERS = 8
+import os
+
+BATCH = int(os.environ.get("BEACH_SEG_TPU_BENCH_BATCH", "32"))
+ITERS = int(os.environ.get("BEACH_SEG_TPU_BENCH_ITERS", "8"))
 
 
 def main() -> None:

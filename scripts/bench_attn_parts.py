@@ -88,12 +88,29 @@ def main():
 
     def rel_in_kernel(qkv, rph, rpw):
         rh_tab, rw_tab = rel_tables_padded(rph, rpw, (GH, GW), (GH, GW))
-        return fused_attention_qkv_rel(qkv, rh_tab, rw_tab, HD**-0.5, GW, NH)
+        return fused_attention_qkv_rel(
+            qkv.reshape(B, S, 3, C), rh_tab, rw_tab, HD**-0.5, GW, NH
+        )
+
+    def rel_in_kernel_variant(exp2, skip_max):
+        from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
+
+        def fn(qkv, rph, rpw):
+            rh_tab, rw_tab = rel_tables_padded(rph, rpw, (GH, GW), (GH, GW))
+            return _pallas_attention_qkv_rel(
+                qkv, rh_tab, rw_tab, HD**-0.5, NH, exp2=exp2, skip_max=skip_max
+            )
+
+        return fn
 
     attn_flops = 2 * B * NH * S * S * (128 + 64 + HD)
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "relk"):
         timeit("rel-in-kernel (tables in)", rel_in_kernel, qkv, (rph, rpw), flops=attn_flops, m=4)
+    if which in ("all", "softmax"):
+        timeit("rel-in-kernel exp2", rel_in_kernel_variant(True, False), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel no-max", rel_in_kernel_variant(False, True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel exp2+no-max", rel_in_kernel_variant(True, True), qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "kernel"):
         timeit("kernel_only (split rel)", kernel_only, qkv, (rel_h64, rel_w64), flops=attn_flops, m=4)
     if which in ("all", "producer"):

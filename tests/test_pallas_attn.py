@@ -229,3 +229,22 @@ def test_qkv_rel_kernel_gradients_match(qkv_inputs):
     for a, r in zip(g_fused, g_ref):
         err = np.abs(np.asarray(a) - np.asarray(r)).max()
         assert err / max(np.abs(np.asarray(r)).max(), 1e-9) < 1e-5
+
+
+@pytest.mark.parametrize("exp2,skip_max", [(True, False), (False, True), (True, True)])
+def test_qkv_rel_softmax_variants_match(qkv_inputs, exp2, skip_max):
+    """The exp2-folded softmax (log2e absorbed into scale + tables) and the
+    max-skip variant must agree with the reference up to rounding."""
+    from beach_seg_tpu.ops.attention import rel_tables_padded
+    from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    s = gh * gw
+    c = nh * hd
+    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
+    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
+    got = _pallas_attention_qkv_rel(
+        qkv.reshape(b, s, 3 * c), rh_tab, rw_tab, hd**-0.5, nh,
+        interpret=True, exp2=exp2, skip_max=skip_max,
+    )
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
