@@ -31,15 +31,23 @@ from beach_seg_tpu.ops.sharding import data_sharded_call
 
 
 def _kernel(cur_ref, top_ref, bot_ref, wc_ref, bc_ref, ls_ref, lb_ref, wh_ref, bh_ref, out_ref,
-            col_ref, *, p: int, dh: int, js: int, eps: float, approx: bool):
+            col_ref, *, p: int, dh: int, js: int, eps: float, approx: bool,
+            pre_shuffled: bool = False):
     j = pl.program_id(2)
-    gw = cur_ref.shape[2]
+    gw = cur_ref.shape[3] if pre_shuffled else cur_ref.shape[2]
     w = gw * p
     psub = p // js
-    cur = cur_ref[0, 0]  # (GW, py, px, dh) — pre-split outside (free XLA reshape);
-    # Mosaic cannot lane-split (GW, p·p·dh) in VMEM, but a tile-level
-    # transpose + sublane merge it can do. Pixel shuffle: → (py, GW·px, dh)
-    px = cur.transpose(1, 0, 2, 3).reshape(p, w, dh)
+    cur = cur_ref[0, 0]
+    if pre_shuffled:
+        # (py, GW, px, dh): the GW↔py swap already happened in XLA (where it
+        # fuses into the embed matmul's output epilogue) — the shuffle here is
+        # a pure dim merge, no VMEM relayout
+        px = cur.reshape(p, w, dh)
+    else:
+        # (GW, py, px, dh) — pre-split outside (free XLA reshape);
+        # Mosaic cannot lane-split (GW, p·p·dh) in VMEM, but a tile-level
+        # transpose + sublane merge it can do. Pixel shuffle: → (py, GW·px, dh)
+        px = cur.transpose(1, 0, 2, 3).reshape(p, w, dh)
     top = top_ref[0, 0].reshape(1, w, dh)  # last pixel row of the patch-row above
     bot = bot_ref[0, 0].reshape(1, w, dh)  # first pixel row of the patch-row below
     rows = jnp.concatenate([top, px, bot], axis=0)  # (p+2, W, dh)
@@ -87,7 +95,8 @@ def _reference(h, wc, bc, ls, lb, wh, bh, eps, approx):
     return (jnp.dot(y.astype(wh.dtype), wh, preferred_element_type=jnp.float32) + bh).astype(jnp.float32)
 
 
-def _pallas_decoder_tail(h, wc, bc, ls, lb, wh, bh, eps, approx, interpret=False):
+def _pallas_decoder_tail(h, wc, bc, ls, lb, wh, bh, eps, approx, interpret=False,
+                         pre_shuffle=False, scratch_limit=4 * 2**20):
     b, r, gw, pp = h.shape
     dh = wh.shape[0]
     p = int(round((pp // dh) ** 0.5))
@@ -104,18 +113,25 @@ def _pallas_decoder_tail(h, wc, bc, ls, lb, wh, bh, eps, approx, interpret=False
     top_edges = jnp.concatenate([zrow, top_all[:, : r - 1]], axis=1)
     bot_edges = jnp.concatenate([bot_all[:, 1:], zrow], axis=1)
     h6 = h.reshape(b, r, gw, p, p, dh)
+    if pre_shuffle:
+        # do the GW↔py swap in XLA (fuses into the embed matmul epilogue /
+        # costs at most one HBM round-trip) so the kernel never transposes
+        h6 = h6.transpose(0, 1, 3, 2, 4, 5)  # (B, R, py, GW, px, dh)
     wc2 = wc.reshape(9 * dh, dh)
     # split each patch-row into sub-steps so the im2col scratch stays ~<=4MB
     js = 1
-    while p % (js * 2) == 0 and (p // js) * w * 9 * dh * h.dtype.itemsize > 4 * 2**20:
+    while p % (js * 2) == 0 and (p // js) * w * 9 * dh * h.dtype.itemsize > scratch_limit:
         js *= 2
     psub = p // js
-    kernel = functools.partial(_kernel, p=p, dh=dh, js=js, eps=eps, approx=approx)
+    kernel = functools.partial(
+        _kernel, p=p, dh=dh, js=js, eps=eps, approx=approx, pre_shuffled=pre_shuffle
+    )
+    cur_block = (1, 1, p, gw, p, dh) if pre_shuffle else (1, 1, gw, p, p, dh)
     return pl.pallas_call(
         kernel,
         grid=(b, r, js),
         in_specs=[
-            pl.BlockSpec((1, 1, gw, p, p, dh), lambda g, i, j: (g, i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cur_block, lambda g, i, j: (g, i, 0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, gw, p, dh), lambda g, i, j: (g, i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, gw, p, dh), lambda g, i, j: (g, i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((9 * dh, dh), lambda g, i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -141,8 +157,11 @@ def _pallas_decoder_tail(h, wc, bc, ls, lb, wh, bh, eps, approx, interpret=False
 def decoder_tail(h, conv_w, conv_b, ln_scale, ln_bias, head_w, head_b, eps: float, approx: bool):
     """h: (B, R, GW, p·p·dh) decoder-embed output (pre pixel shuffle);
     conv_w: (3, 3, dh, dh). Returns the painted canvas (B, R·p, GW·p, 3) f32."""
+    import os
+
     interpret = jax.default_backend() != "tpu"
-    fn = lambda *a: _pallas_decoder_tail(*a, eps, approx, interpret=interpret)
+    pre = os.environ.get("BEACH_SEG_TPU_DECODER_PRESHUFFLE", "") not in ("", "0")
+    fn = lambda *a: _pallas_decoder_tail(*a, eps, approx, interpret=interpret, pre_shuffle=pre)
     return data_sharded_call(
         fn, (h, conv_w, conv_b, ln_scale, ln_bias, head_w, head_b),
         (True, False, False, False, False, False, False),

@@ -31,6 +31,24 @@ def test_decoder_tail_matches_reference(dec_inputs, approx):
     assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-5
 
 
+@pytest.mark.parametrize("force_substeps", [False, True])
+def test_decoder_tail_pre_shuffled_matches_reference(dec_inputs, force_substeps):
+    """The XLA-pre-shuffled variant (kernel receives (B, R, py, GW, px, dh),
+    no in-kernel transpose) must match the oracle, including when a tiny
+    scratch limit forces the patch row to split into sub-steps (js > 1)."""
+    from beach_seg_tpu.ops.pallas_decoder import _pallas_decoder_tail
+
+    h, wc, bc, ls, lb, wh, bh = dec_inputs
+    limit = 1 if force_substeps else 4 * 2**20
+    ref = _reference(h, wc, bc, ls, lb, wh, bh, 1e-6, False)
+    got = _pallas_decoder_tail(
+        h, wc, bc, ls, lb, wh, bh, 1e-6, False,
+        interpret=True, pre_shuffle=True, scratch_limit=limit,
+    )
+    assert got.shape == ref.shape
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 1e-5
+
+
 def test_decoder_tail_gradients(dec_inputs):
     h, wc, bc, ls, lb, wh, bh = dec_inputs
 
