@@ -231,6 +231,23 @@ def test_qkv_rel_kernel_gradients_match(qkv_inputs):
         assert err / max(np.abs(np.asarray(r)).max(), 1e-9) < 1e-5
 
 
+def test_qkv_rel_env_knobs_wiring(qkv_inputs, monkeypatch):
+    """BEACH_SEG_TPU_ATTN_EXP2 / _NO_MAX reach the kernel through the public
+    entry point and keep parity."""
+    from beach_seg_tpu.ops.attention import rel_tables_padded
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    s = gh * gw
+    c = nh * hd
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_EXP2", "1")
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_NO_MAX", "1")
+    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
+    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
+    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), rh_tab, rw_tab, hd**-0.5, gw, nh)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
+
+
 @pytest.mark.parametrize("exp2,skip_max", [(True, False), (False, True), (True, True)])
 def test_qkv_rel_softmax_variants_match(qkv_inputs, exp2, skip_max):
     """The exp2-folded softmax (log2e absorbed into scale + tables) and the
