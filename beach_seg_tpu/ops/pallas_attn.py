@@ -49,7 +49,7 @@ def _pick_block(s: int, target: int = 784) -> int:
     return best
 
 
-def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref, *, scale: float):
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, ehw_ref, out_ref, *, scale: float):
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (S, D)
     v = v_ref[0]  # (S, D)
@@ -61,13 +61,13 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref, *, sca
     )
     # decomposed rel-pos bias: scores[q, kh·Wk + kw] += rh[q, kh] + rw[q, kw].
     # Mosaic can't lane-split (BQ, S) → (BQ, Hk, Wk), so the broadcast-add is
-    # expressed as two 0/1 expansion matmuls (tiny MXU work, exact in fp32):
-    #   bias = rh @ Eh + rw @ Ew,  Eh[h, k] = [k // Wk == h], Ew[w, k] = [k % Wk == w]
+    # one PACKED 0/1 expansion matmul (tiny MXU work, exact in fp32):
+    #   bias = [rh ‖ rw] @ [Eh; Ew],  Eh[h, k] = [k // Wk == h], Ew[w, k] = [k % Wk == w]
+    # (stacking the two expansions keeps the contraction ≤128 → ONE
+    # (BQ, S)-output MXU pass instead of two)
+    rhw = jnp.concatenate([rh_ref[0], rw_ref[0]], axis=-1)
     scores = scores + jax.lax.dot_general(
-        rh_ref[0], eh_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    scores = scores + jax.lax.dot_general(
-        rw_ref[0], ew_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rhw, ehw_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     probs = jax.nn.softmax(scores, axis=-1)
     out = jax.lax.dot_general(
@@ -99,6 +99,7 @@ def _pallas_attention(
     ks = jnp.arange(s)
     eh = (ks[None, :] // wk == jnp.arange(hk)[:, None]).astype(q.dtype)  # (Hk, S)
     ew = (ks[None, :] % wk == jnp.arange(wk)[:, None]).astype(q.dtype)  # (Wk, S)
+    ehw = jnp.concatenate([eh, ew], axis=0)  # (Hk+Wk, S)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -108,8 +109,7 @@ def _pallas_attention(
             pl.BlockSpec((1, s, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, hk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, wk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hk, s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wk, s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hk + wk, s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
@@ -119,7 +119,7 @@ def _pallas_attention(
             transcendentals=bh * s * s,
         ),
         interpret=interpret,
-    )(q, k, v, rel_h, rel_w, eh, ew)
+    )(q, k, v, rel_h, rel_w, ehw)
 
 
 def _kernel_packed(q_ref, k_ref, v_ref, rh_ref, rw_ref, out_ref, *, scale: float, wk: int, dp: int):
@@ -678,29 +678,34 @@ def _reference_flat(q, k, v, rel_h, rel_w, scale, hk, wk):
 
 
 def _bwd_kernel(
-    q_ref, k_ref, v_ref, rh_ref, rw_ref, g_ref, eh_ref, ew_ref,
+    q_ref, k_ref, v_ref, rh_ref, rw_ref, g_ref, ehw_ref,
     dq_ref, dk_ref, dv_ref, drh_ref, drw_ref,
-    *, scale: float,
+    *, scale: float, hk: int,
 ):
     """Flash-style backward: recompute P per q-block in VMEM, accumulate
     dK/dV across q-blocks via output-block revisiting (index_map constant in
-    the q dimension, init at i==0)."""
+    the q dimension, init at i==0).
+
+    The two rel-bias expansion matmuls are PACKED into one on both sides:
+    the recompute contracts [rh ‖ rw] against the stacked (Hk+Wk, S)
+    expansion matrix (one (BQ, S)-output pass instead of two), and the term
+    cotangents come from one ds @ [Eh ‖ Ew]ᵀ pass (one K=S pass instead of
+    two) split at the Hk lane boundary."""
     i = pl.program_id(1)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     g = g_ref[0].astype(jnp.float32)
+    ehw = ehw_ref[:]  # (Hk+Wk, S) stacked 0/1 expansion matrix
 
     # recompute probabilities (same math as the forward kernel)
     scores = (
         jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         * scale
     )
+    rhw = jnp.concatenate([rh_ref[0], rw_ref[0]], axis=-1)  # (BQ, Hk+Wk)
     scores = scores + jax.lax.dot_general(
-        rh_ref[0], eh_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    scores = scores + jax.lax.dot_general(
-        rw_ref[0], ew_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rhw, ehw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     p = jax.nn.softmax(scores, axis=-1)  # (BQ, S) f32
 
@@ -720,12 +725,11 @@ def _bwd_kernel(
         jax.lax.dot_general(ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         * scale
     )
-    drh_ref[0] = jax.lax.dot_general(
-        ds, eh_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(drh_ref.dtype)
-    drw_ref[0] = jax.lax.dot_general(
-        ds, ew_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(drw_ref.dtype)
+    drhw = jax.lax.dot_general(
+        ds, ehw.astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, Hk+Wk)
+    drh_ref[0] = drhw[:, :hk].astype(drh_ref.dtype)
+    drw_ref[0] = drhw[:, hk:].astype(drw_ref.dtype)
 
     @pl.when(i == 0)
     def _():
@@ -749,7 +753,8 @@ def _pallas_attention_bwd(q, k, v, rel_h, rel_w, g, scale: float, interpret: boo
     ks = jnp.arange(s)
     eh = (ks[None, :] // wk == jnp.arange(hk)[:, None]).astype(q.dtype)
     ew = (ks[None, :] % wk == jnp.arange(wk)[:, None]).astype(q.dtype)
-    kernel = functools.partial(_bwd_kernel, scale=scale)
+    ehw = jnp.concatenate([eh, ew], axis=0)  # (Hk+Wk, S), jit-constant
+    kernel = functools.partial(_bwd_kernel, scale=scale, hk=hk)
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,
@@ -761,8 +766,7 @@ def _pallas_attention_bwd(q, k, v, rel_h, rel_w, g, scale: float, interpret: boo
             pl.BlockSpec((1, bq, hk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, wk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hk, s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wk, s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hk + wk, s), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -779,7 +783,7 @@ def _pallas_attention_bwd(q, k, v, rel_h, rel_w, g, scale: float, interpret: boo
             jax.ShapeDtypeStruct((bh, s, wk), rel_w.dtype),
         ),
         interpret=interpret,
-    )(q, k, v, rel_h, rel_w, g, eh, ew)
+    )(q, k, v, rel_h, rel_w, g, ehw)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
