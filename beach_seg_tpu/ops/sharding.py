@@ -22,10 +22,14 @@ so a shard boundary never cuts through one batch element's heads (the packed
 kernels reshape dim 0 by ``num_heads`` internally and would fail to trace on
 a ragged shard).
 
-TP note: under a ``model`` axis the kernels compute replicated — entering the
-island forces an all-gather of any model-sharded operand. The pure-XLA
-reference paths (``attn_impl="reference"``, fp32 modules) remain fully
-GSPMD-TP-partitionable.
+TP note: islands can run tensor-parallel via ``model_dims``/``out_model_dim``
+— the flagship attention island head-shards its grid over the ``model`` axis
+(the (C, 3, C) qkv layout keeps whole q/k/v head blocks per shard) and the
+MLP island runs the Megatron column/row split with an in-island psum; see
+``fused_attention_qkv_rel`` / ``fused_ln_mlp``. Kernels that don't pass
+``model_dims`` compute replicated under a model axis (an all-gather at the
+island boundary). The pure-XLA reference paths (``attn_impl="reference"``,
+fp32 modules) remain fully GSPMD-TP-partitionable.
 """
 
 from __future__ import annotations
