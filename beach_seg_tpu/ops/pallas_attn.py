@@ -680,7 +680,7 @@ def _reference_flat(q, k, v, rel_h, rel_w, scale, hk, wk):
 def _bwd_kernel(
     q_ref, k_ref, v_ref, rh_ref, rw_ref, g_ref, ehw_ref,
     dq_ref, dk_ref, dv_ref, drh_ref, drw_ref,
-    *, scale: float, hk: int,
+    *, scale: float, hk: int, exp2: bool = False,
 ):
     """Flash-style backward: recompute P per q-block in VMEM, accumulate
     dK/dV across q-blocks via output-block revisiting (index_map constant in
@@ -698,16 +698,24 @@ def _bwd_kernel(
     g = g_ref[0].astype(jnp.float32)
     ehw = ehw_ref[:]  # (Hk+Wk, S) stacked 0/1 expansion matrix
 
-    # recompute probabilities (same math as the forward kernel)
+    # recompute probabilities (same math as the forward kernel). With `exp2`
+    # the scores are built in base-2 log space (log2e folded into the scale
+    # and the tiny (BQ, Hk+Wk) bias operand — NOT a full-tile pass) so the
+    # normalization uses the native exp2 transcendental.
+    l2e = _LOG2E if exp2 else 1.0
     scores = (
         jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        * scale
+        * (scale * l2e)
     )
     rhw = jnp.concatenate([rh_ref[0], rw_ref[0]], axis=-1)  # (BQ, Hk+Wk)
+    if exp2:
+        rhw = (rhw.astype(jnp.float32) * l2e).astype(rhw.dtype)
     scores = scores + jax.lax.dot_general(
         rhw, ehw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    p = jax.nn.softmax(scores, axis=-1)  # (BQ, S) f32
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    u = jnp.exp2(scores - m) if exp2 else jnp.exp(scores - m)
+    p = u / jnp.sum(u, axis=-1, keepdims=True)  # (BQ, S) f32
 
     # dV += Pᵀ g
     dv_blk = jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -743,9 +751,12 @@ def _bwd_kernel(
 
 
 def _pallas_attention_bwd(q, k, v, rel_h, rel_w, g, scale: float, interpret: bool = False):
+    import os
+
     bh, s, d = q.shape
     hk = rel_h.shape[-1]
     wk = rel_w.shape[-1]
+    exp2 = os.environ.get("BEACH_SEG_TPU_ATTN_EXP2", "") not in ("", "0")
     # smaller q-blocks than forward: backward keeps three (BQ, S) f32 buffers
     # (p, dp, ds) live at once and 784 blows the 16 MB VMEM budget
     bq = _pick_block(s, target=392)
@@ -754,7 +765,7 @@ def _pallas_attention_bwd(q, k, v, rel_h, rel_w, g, scale: float, interpret: boo
     eh = (ks[None, :] // wk == jnp.arange(hk)[:, None]).astype(q.dtype)
     ew = (ks[None, :] % wk == jnp.arange(wk)[:, None]).astype(q.dtype)
     ehw = jnp.concatenate([eh, ew], axis=0)  # (Hk+Wk, S), jit-constant
-    kernel = functools.partial(_bwd_kernel, scale=scale, hk=hk)
+    kernel = functools.partial(_bwd_kernel, scale=scale, hk=hk, exp2=exp2)
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,
