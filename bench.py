@@ -61,16 +61,34 @@ def main() -> None:
     mk = lambda: jnp.asarray(rng.standard_normal((BATCH, h, w, 3)), np.float32)
     query, prompt_img, prompt_mask = mk(), mk(), mk()
 
-    forward(params, query, prompt_img, prompt_mask, jnp.float32(-1)).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    # accumulate a checksum over every iteration's output so a lazy runtime
-    # cannot elide intermediate executions (each forward feeds the total)
-    checksum = jnp.zeros((), jnp.int32)
-    for i in range(ITERS):
-        ids = forward(params, query, prompt_img, prompt_mask, jnp.float32(i))
-        checksum = checksum + ids.sum(dtype=jnp.int32)
-    checksum.block_until_ready()
-    dt = time.perf_counter() - t0
+    if os.environ.get("BEACH_SEG_TPU_BENCH_SCAN", "") not in ("", "0"):
+        # scan mode: all ITERS executions inside ONE dispatch (a lax.scan whose
+        # carry chains every iteration's checksum — still elision-proof, still
+        # ITERS distinct salted computations), removing the per-dispatch tunnel
+        # round-trip from the measurement
+        @jax.jit
+        def scanned(params, query, prompt_img, prompt_mask):
+            def step(carry, i):
+                ids = forward(params, query, prompt_img, prompt_mask, i.astype(jnp.float32))
+                return carry + ids.sum(dtype=jnp.int32), None
+
+            return jax.lax.scan(step, jnp.int32(0), jnp.arange(ITERS))[0]
+
+        scanned(params, query, prompt_img, prompt_mask).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        scanned(params, query, prompt_img, prompt_mask).block_until_ready()
+        dt = time.perf_counter() - t0
+    else:
+        forward(params, query, prompt_img, prompt_mask, jnp.float32(-1)).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        # accumulate a checksum over every iteration's output so a lazy runtime
+        # cannot elide intermediate executions (each forward feeds the total)
+        checksum = jnp.zeros((), jnp.int32)
+        for i in range(ITERS):
+            ids = forward(params, query, prompt_img, prompt_mask, jnp.float32(i))
+            checksum = checksum + ids.sum(dtype=jnp.int32)
+        checksum.block_until_ready()
+        dt = time.perf_counter() - t0
     tiles_per_sec = BATCH * ITERS / dt
 
     baseline_path = Path(__file__).parent / "BASELINE_MEASURED.json"
