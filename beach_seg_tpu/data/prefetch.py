@@ -103,8 +103,7 @@ class MosaicPrefetcher:
         return out
 
     def __iter__(self) -> Iterator[tuple[str, Any]]:
-        for i in range(min(self.ahead, len(self.date_paths))):
-            self._schedule(i)
+        # the first `ahead` merges were scheduled in the constructor
         for i, (date, _) in enumerate(self.date_paths):
             self._schedule(i + self.ahead)
             yield date, self.futures.pop(date).result()

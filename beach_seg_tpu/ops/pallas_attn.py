@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from beach_seg_tpu.ops.attention import attention_reference
+from beach_seg_tpu.utils.env import env_flag
 from beach_seg_tpu.ops.sharding import data_sharded_call
 
 
@@ -548,8 +549,6 @@ def fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, scale: float, gw: int, num_hea
     in XLA (the y-batched einsums — training path only), runs the flash-style
     backward kernel, and folds the term cotangents back onto q and the
     tables."""
-    import os
-
     from beach_seg_tpu.ops.sharding import model_axis_size
 
     interpret = jax.default_backend() != "tpu"
@@ -558,8 +557,8 @@ def fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, scale: float, gw: int, num_hea
     # softmax micro-variants (measured knobs; see _kernel_qkv_rel docstring):
     # exp2 is numerically equivalent (log2e folded into scale + tables);
     # NO_MAX drops the stability pass and requires |logits| < ~88
-    exp2 = os.environ.get("BEACH_SEG_TPU_ATTN_EXP2", "") not in ("", "0")
-    skip_max = os.environ.get("BEACH_SEG_TPU_ATTN_NO_MAX", "") not in ("", "0")
+    exp2 = env_flag("BEACH_SEG_TPU_ATTN_EXP2")
+    skip_max = env_flag("BEACH_SEG_TPU_ATTN_NO_MAX")
 
     def fn(qkv4_loc, rh, rw):
         bl, sl, _, cl = qkv4_loc.shape
@@ -751,12 +750,10 @@ def _bwd_kernel(
 
 
 def _pallas_attention_bwd(q, k, v, rel_h, rel_w, g, scale: float, interpret: bool = False):
-    import os
-
     bh, s, d = q.shape
     hk = rel_h.shape[-1]
     wk = rel_w.shape[-1]
-    exp2 = os.environ.get("BEACH_SEG_TPU_ATTN_EXP2", "") not in ("", "0")
+    exp2 = env_flag("BEACH_SEG_TPU_ATTN_EXP2")
     # smaller q-blocks than forward: backward keeps three (BQ, S) f32 buffers
     # (p, dp, ds) live at once and 784 blows the 16 MB VMEM budget
     bq = _pick_block(s, target=392)

@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from beach_seg_tpu.ops.sharding import data_sharded_call
+from beach_seg_tpu.utils.env import env_flag
 
 
 def _kernel(cur_ref, top_ref, bot_ref, wc_ref, bc_ref, ls_ref, lb_ref, wh_ref, bh_ref, out_ref,
@@ -157,10 +158,8 @@ def _pallas_decoder_tail(h, wc, bc, ls, lb, wh, bh, eps, approx, interpret=False
 def decoder_tail(h, conv_w, conv_b, ln_scale, ln_bias, head_w, head_b, eps: float, approx: bool):
     """h: (B, R, GW, p·p·dh) decoder-embed output (pre pixel shuffle);
     conv_w: (3, 3, dh, dh). Returns the painted canvas (B, R·p, GW·p, 3) f32."""
-    import os
-
     interpret = jax.default_backend() != "tpu"
-    pre = os.environ.get("BEACH_SEG_TPU_DECODER_PRESHUFFLE", "") not in ("", "0")
+    pre = env_flag("BEACH_SEG_TPU_DECODER_PRESHUFFLE")
     fn = lambda *a: _pallas_decoder_tail(*a, eps, approx, interpret=interpret, pre_shuffle=pre)
     return data_sharded_call(
         fn, (h, conv_w, conv_b, ln_scale, ln_bias, head_w, head_b),

@@ -7,6 +7,16 @@ import os
 from pathlib import Path
 
 
+def env_flag(name: str) -> bool:
+    """Parse a boolean env knob: unset or "0" is off, anything else is on.
+
+    Single source of truth for the BEACH_SEG_TPU_* feature flags so sites
+    that must agree (e.g. the attention forward and backward kernels reading
+    BEACH_SEG_TPU_ATTN_EXP2) cannot drift apart in how they parse the value.
+    """
+    return os.environ.get(name, "") not in ("", "0")
+
+
 def find_dotenv(start: Path | None = None, name: str = ".env") -> Path | None:
     """Walk up from ``start`` (cwd) until a ``.env`` file is found."""
     d = Path(start or os.getcwd()).resolve()

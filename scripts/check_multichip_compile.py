@@ -330,8 +330,18 @@ def main() -> int:
     # see that). Exit 0 with whatever partial results printed — an
     # unresponsive service is an environment condition, not a compile failure.
     done_count = [0]
+    rc_holder = [0]  # accumulated failure state, visible to the watchdog
 
     def _run_watchdog():
+        if rc_holder[0]:
+            # a genuine COMPILE FAILED was already recorded — the deadline
+            # must not launder it into a green SKIP
+            print(
+                f"DEADLINE after a COMPILE FAILED — {done_count[0]}/"
+                f"{len(programs)} programs compiled; exiting with the failure",
+                flush=True,
+            )
+            os._exit(rc_holder[0])
         print(
             f"SKIP: compile service unresponsive/slow — {done_count[0]}/"
             f"{len(programs)} programs compiled before the 1200s deadline",

@@ -9,7 +9,7 @@ converter breaks on this environment's protobuf) and prints two tables:
      records on each event — the fastest way to find which PYTHON line owns
      a hot fusion.
 
-Usage:  python scripts/trace_summary.py [--batch 32] [--train]
+Usage:  python scripts/trace_summary.py [--batch 32]
 
 The summary is the ground truth for BENCHMARKS.md accounting; bench.py's
 wall-clock includes dispatch gaps that this per-op view excludes.
