@@ -389,6 +389,7 @@ fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
 def _kernel_qkv_rel(
     q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref,
     *, scale: float, hd: int, gw: int, exp2: bool = False, skip_max: bool = False,
+    pack_rw: bool = False,
 ):
     """_kernel_qkv with the rel-pos TERMS produced inside the kernel.
 
@@ -407,14 +408,21 @@ def _kernel_qkv_rel(
     B·H sweep at this geometry vs 0.46 for a single big matmul) — so both
     terms cost ~1 ms/layer of extra MXU work and ZERO HBM traffic. rel_w's
     batch dim is x, which dot_general forces to lead the output, so it pays
-    two tiny (Yb, Wq, 64) VMEM transposes."""
+    two tiny (Yb, Wq, 64) VMEM transposes.
+
+    ``pack_rw``: ride the rel_w expansion on the scores matmul too —
+    qh = [q·scale ‖ rel_h ‖ rel_w] against kh = [k ‖ Eh ‖ Ewᵀ] in ONE
+    K=hd+128 contraction, instead of a separate (BQ, 64)@(64, S) expansion
+    matmul accumulated with a full-tile f32 add. Same MXU pass count (the
+    K=64 tail pads to a full pass either way) but one fewer (BQ, S) f32
+    VPU add and one fewer matmul dispatch per half."""
     qb2 = q_ref[0]  # (BQ, 2·hd)
     kb2 = k_ref[0]  # (S, 2·hd)
     vb2 = v_ref[0]  # (S, 2·hd)
     rh_tab = rh_ref[...]  # (Yb, 64, hd) — this q-block's y rows of the table
     rw_tab = rw_ref[...]  # (Wq, 64, hd)
     eh = eh_ref[...]  # (S, 64)
-    ew = ew_ref[...]  # (64, S)
+    ew = ew_ref[...]  # (S, 64) transposed when pack_rw, else (64, S)
     bq = qb2.shape[0]
     yb = bq // gw
     halves = []
@@ -432,14 +440,21 @@ def _kernel_qkv_rel(
             q3t, rw_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (gw, yb, 64)
         rwb = rw3.transpose(1, 0, 2).reshape(bq, 64).astype(qb.dtype)
-        qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb], axis=-1)
-        kh = jnp.concatenate([kb, eh], axis=-1)
-        scores = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        scores = scores + jax.lax.dot_general(
-            rwb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        if pack_rw:
+            qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb, rwb], axis=-1)
+            kh = jnp.concatenate([kb, eh, ew], axis=-1)
+            scores = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+        else:
+            qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb], axis=-1)
+            kh = jnp.concatenate([kb, eh], axis=-1)
+            scores = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            scores = scores + jax.lax.dot_general(
+                rwb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
         # `exp2`: the wrapper pre-folds log2(e) into `scale` AND the rel
         # tables, so scores are already in base-2 log space — exp2 is the
         # VPU's native transcendental (exp lowers to exp2 + a multiply pass
@@ -472,6 +487,7 @@ def _pallas_attention_qkv_rel(
     block_q: int = 784,
     exp2: bool = False,
     skip_max: bool = False,
+    pack_rw: bool = False,
 ) -> jnp.ndarray:
     """qkv: (B, S, 3C); rh_tab: (Gh, 64, hd) / rw_tab: (Gw, 64, hd) — the
     get_rel_pos-interpolated tables zero-padded to 64 key slots. Returns
@@ -493,7 +509,10 @@ def _pallas_attention_qkv_rel(
     grid = (b, hp, s // bq)
     ks = jnp.arange(s)
     eh = (ks[:, None] // gw == jnp.arange(64)[None, :]).astype(qkv.dtype)  # (S, 64)
-    ew = (jnp.arange(64)[:, None] == ks[None, :] % gw).astype(qkv.dtype)  # (64, S)
+    if pack_rw:
+        ew = (ks[:, None] % gw == jnp.arange(64)[None, :]).astype(qkv.dtype)  # (S, 64)
+    else:
+        ew = (jnp.arange(64)[:, None] == ks[None, :] % gw).astype(qkv.dtype)  # (64, S)
     if exp2:
         # move the softmax into base-2 log space: exp(s) == exp2(s·log2e),
         # with log2e folded into the score scale and the (jit-constant) rel
@@ -503,7 +522,13 @@ def _pallas_attention_qkv_rel(
         rh_tab = rh_tab * _LOG2E
         rw_tab = rw_tab * _LOG2E
     kernel = functools.partial(
-        _kernel_qkv_rel, scale=scale, hd=hd, gw=gw, exp2=exp2, skip_max=skip_max
+        _kernel_qkv_rel, scale=scale, hd=hd, gw=gw, exp2=exp2, skip_max=skip_max,
+        pack_rw=pack_rw,
+    )
+    ew_spec = (
+        pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM)
+        if pack_rw
+        else pl.BlockSpec((64, s), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM)
     )
     return pl.pallas_call(
         kernel,
@@ -515,7 +540,7 @@ def _pallas_attention_qkv_rel(
             pl.BlockSpec((yb, 64, hd), lambda g, h, i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gw, 64, hd), lambda g, h, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, s), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM),
+            ew_spec,
         ],
         out_specs=pl.BlockSpec((1, bq, 128), lambda g, h, i: (g, i, h), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
@@ -559,13 +584,14 @@ def fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, scale: float, gw: int, num_hea
     # NO_MAX drops the stability pass and requires |logits| < ~88
     exp2 = env_flag("BEACH_SEG_TPU_ATTN_EXP2")
     skip_max = env_flag("BEACH_SEG_TPU_ATTN_NO_MAX")
+    pack_rw = env_flag("BEACH_SEG_TPU_ATTN_PACK_RW")
 
     def fn(qkv4_loc, rh, rw):
         bl, sl, _, cl = qkv4_loc.shape
         nh_loc = num_heads * cl // c
         return _pallas_attention_qkv_rel(
             qkv4_loc.reshape(bl, sl, 3 * cl), rh, rw, scale, nh_loc,
-            interpret=interpret, exp2=exp2, skip_max=skip_max,
+            interpret=interpret, exp2=exp2, skip_max=skip_max, pack_rw=pack_rw,
         )
 
     if mp > 1 and num_heads % mp == 0 and (num_heads // mp) % 2 == 0:

@@ -242,16 +242,22 @@ def test_qkv_rel_env_knobs_wiring(qkv_inputs, monkeypatch):
     c = nh * hd
     monkeypatch.setenv("BEACH_SEG_TPU_ATTN_EXP2", "1")
     monkeypatch.setenv("BEACH_SEG_TPU_ATTN_NO_MAX", "1")
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_PACK_RW", "1")
     ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
     rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
     got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), rh_tab, rw_tab, hd**-0.5, gw, nh)
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
 
 
-@pytest.mark.parametrize("exp2,skip_max", [(True, False), (False, True), (True, True)])
-def test_qkv_rel_softmax_variants_match(qkv_inputs, exp2, skip_max):
-    """The exp2-folded softmax (log2e absorbed into scale + tables) and the
-    max-skip variant must agree with the reference up to rounding."""
+@pytest.mark.parametrize(
+    "exp2,skip_max,pack_rw",
+    [(True, False, False), (False, True, False), (True, True, False),
+     (False, False, True), (True, True, True)],
+)
+def test_qkv_rel_softmax_variants_match(qkv_inputs, exp2, skip_max, pack_rw):
+    """The exp2-folded softmax (log2e absorbed into scale + tables), the
+    max-skip variant and the packed-rel_w contraction must agree with the
+    reference up to rounding."""
     from beach_seg_tpu.ops.attention import rel_tables_padded
     from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
 
@@ -262,6 +268,6 @@ def test_qkv_rel_softmax_variants_match(qkv_inputs, exp2, skip_max):
     rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
     got = _pallas_attention_qkv_rel(
         qkv.reshape(b, s, 3 * c), rh_tab, rw_tab, hd**-0.5, nh,
-        interpret=True, exp2=exp2, skip_max=skip_max,
+        interpret=True, exp2=exp2, skip_max=skip_max, pack_rw=pack_rw,
     )
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
