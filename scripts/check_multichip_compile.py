@@ -380,6 +380,7 @@ def main() -> int:
                 else:
                     print(f"{name}: COMPILE FAILED: {type(e).__name__}: {str(e)[:500]}")
                     rc = 1
+                    rc_holder[0] = 1
     run_watchdog.cancel()
     return rc
 
