@@ -92,14 +92,14 @@ def main():
             qkv.reshape(B, S, 3, C), rh_tab, rw_tab, HD**-0.5, GW, NH
         )
 
-    def rel_in_kernel_variant(exp2, skip_max, pack_rw=False):
+    def rel_in_kernel_variant(exp2, skip_max, pack_rw=False, block_q=784):
         from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
 
         def fn(qkv, rph, rpw):
             rh_tab, rw_tab = rel_tables_padded(rph, rpw, (GH, GW), (GH, GW))
             return _pallas_attention_qkv_rel(
                 qkv, rh_tab, rw_tab, HD**-0.5, NH, exp2=exp2, skip_max=skip_max,
-                pack_rw=pack_rw,
+                pack_rw=pack_rw, block_q=block_q,
             )
 
         return fn
@@ -116,6 +116,9 @@ def main():
         timeit("rel-in-kernel pack-rw", rel_in_kernel_variant(False, False, True), qkv, (rph, rpw), flops=attn_flops, m=4)
         timeit("rel-in-kernel exp2+pack-rw", rel_in_kernel_variant(True, False, True), qkv, (rph, rpw), flops=attn_flops, m=4)
         timeit("rel-in-kernel exp2+no-max+pack-rw", rel_in_kernel_variant(True, True, True), qkv, (rph, rpw), flops=attn_flops, m=4)
+    if which in ("all", "blockq"):
+        timeit("rel-in-kernel bq=S (one q-block)", rel_in_kernel_variant(False, False, False, S), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel bq=392", rel_in_kernel_variant(False, False, False, 392), qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "kernel"):
         timeit("kernel_only (split rel)", kernel_only, qkv, (rel_h64, rel_w64), flops=attn_flops, m=4)
     if which in ("all", "producer"):
