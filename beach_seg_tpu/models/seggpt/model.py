@@ -141,23 +141,44 @@ class Attention(nn.Module):
         # shard whole head blocks of q, k and v — a (C, 3C) layout would put
         # shard boundaries across the q/k/v split (contiguous 3C/mp blocks mix
         # streams) and force a reshard at every kernel island
+        from beach_seg_tpu.ops.sharding import model_axis_size
+
         qkv_kernel = self.param("qkv_kernel", _trunc_normal(cfg.initializer_range), (c, 3, c), jnp.float32)
-        qkv4 = jnp.einsum(
-            "bsc,ctd->bstd", x.reshape(b, s, c).astype(self.dtype),
-            qkv_kernel.astype(self.dtype), precision=self.precision,
-        )
+        qkv_bias = None
         if cfg.qkv_bias:
             qkv_bias = self.param("qkv_bias", nn.initializers.zeros, (3, c), jnp.float32)
-            qkv4 = qkv4 + qkv_bias.astype(self.dtype)
 
         use_fused = self.impl in ("fused", "auto") and cfg.use_relative_position_embeddings
+        use_qkv_rel_kernel = (
+            use_fused and 2 * hd == 128 and c % 128 == 0 and gh <= 64 and gw <= 64
+        )
+        if use_qkv_rel_kernel and model_axis_size() == 1:
+            # single-model-shard fast path: a flat (C, 3C) contraction lets XLA
+            # pick the natural row-major (B, S, 3C) output layout the kernel
+            # reads — the "bstd" form below makes XLA relayout-copy the whole
+            # (B, S, 3, C) tensor at the kernel boundary (~2.7 ms/layer at
+            # B=32, measured). The reshape to (B, S, 3, C) is a free bitcast.
+            qkv4 = jnp.einsum(
+                "bsc,cd->bsd", x.reshape(b, s, c).astype(self.dtype),
+                qkv_kernel.reshape(c, 3 * c).astype(self.dtype), precision=self.precision,
+            ).reshape(b, s, 3, c)
+        else:
+            qkv4 = jnp.einsum(
+                "bsc,ctd->bstd", x.reshape(b, s, c).astype(self.dtype),
+                qkv_kernel.astype(self.dtype), precision=self.precision,
+            )
+        if qkv_bias is not None and not use_qkv_rel_kernel:
+            # the kernel path adds the bias in VMEM (a standalone (B, S, 3C)
+            # HBM bias pass costs ~0.5 ms/layer at B=32); fallbacks add it here
+            qkv4 = qkv4 + qkv_bias.astype(self.dtype)
+
         rel_params = None
         if cfg.use_relative_position_embeddings:
             rel_pos_h = self.param("rel_pos_h", _trunc_normal(cfg.initializer_range), (2 * gh - 1, hd), jnp.float32)
             rel_pos_w = self.param("rel_pos_w", _trunc_normal(cfg.initializer_range), (2 * gw - 1, hd), jnp.float32)
             rel_params = (rel_pos_h.astype(self.dtype), rel_pos_w.astype(self.dtype))
 
-        if use_fused and 2 * hd == 128 and c % 128 == 0 and gh <= 64 and gw <= 64:
+        if use_qkv_rel_kernel:
             # transpose-free path: the kernel reads q/k/v as 128-lane slices
             # of the fused qkv output and writes the merged (B, S, C) layout
             # directly — the (3, B·nH, S, hd) head split below costs ~3 ms of
@@ -167,8 +188,13 @@ class Attention(nn.Module):
             # cost ~3 ms/layer of batch-major einsum transposes at B=32.
             from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
 
+            bias_arr = (
+                qkv_bias.astype(self.dtype)
+                if qkv_bias is not None
+                else jnp.zeros((3, c), self.dtype)
+            )
             rh_tab, rw_tab = rel_tables_padded(*rel_params, (gh, gw), (gh, gw))
-            out = fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, hd**-0.5, gw, nh).reshape(b, gh, gw, c)
+            out = fused_attention_qkv_rel(qkv4, bias_arr, rh_tab, rw_tab, hd**-0.5, gw, nh).reshape(b, gh, gw, c)
         else:
             # (B, S, 3, nH, hd) → (3, B·nH, S, hd)
             qkv = qkv4.reshape(b, s, 3, nh, hd).transpose(2, 0, 3, 1, 4).reshape(3, b * nh, s, hd)

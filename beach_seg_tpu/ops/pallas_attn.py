@@ -387,8 +387,8 @@ fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
 
 
 def _kernel_qkv_rel(
-    q_ref, k_ref, v_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref,
-    *, scale: float, hd: int, gw: int, exp2: bool = False, skip_max: bool = False,
+    q_ref, k_ref, v_ref, bias_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref,
+    *, scale: float, hd: int, gw: int, exp2: bool = False, softmax: str = "stable",
     pack_rw: bool = False,
 ):
     """_kernel_qkv with the rel-pos TERMS produced inside the kernel.
@@ -415,10 +415,16 @@ def _kernel_qkv_rel(
     K=hd+128 contraction, instead of a separate (BQ, 64)@(64, S) expansion
     matmul accumulated with a full-tile f32 add. Same MXU pass count (the
     K=64 tail pads to a full pass either way) but one fewer (BQ, S) f32
-    VPU add and one fewer matmul dispatch per half."""
-    qb2 = q_ref[0]  # (BQ, 2·hd)
-    kb2 = k_ref[0]  # (S, 2·hd)
-    vb2 = v_ref[0]  # (S, 2·hd)
+    VPU add and one fewer matmul dispatch per half.
+
+    ``bias_ref`` carries the qkv projection bias for this head pair's 128
+    lanes as a (3, 128) block — adding it here (q before the rel terms, so
+    they see the biased q exactly like the HF formulation) removes the
+    standalone (B, S, 3C) HBM bias pass that XLA would not fuse into the
+    projection matmul (~0.5 ms/layer at B=32)."""
+    qb2 = q_ref[0] + bias_ref[0]  # (BQ, 2·hd)
+    kb2 = k_ref[0] + bias_ref[1]  # (S, 2·hd)
+    vb2 = v_ref[0] + bias_ref[2]  # (S, 2·hd)
     rh_tab = rh_ref[...]  # (Yb, 64, hd) — this q-block's y rows of the table
     rw_tab = rw_ref[...]  # (Wq, 64, hd)
     eh = eh_ref[...]  # (S, 64)
@@ -458,15 +464,28 @@ def _kernel_qkv_rel(
         # `exp2`: the wrapper pre-folds log2(e) into `scale` AND the rel
         # tables, so scores are already in base-2 log space — exp2 is the
         # VPU's native transcendental (exp lowers to exp2 + a multiply pass
-        # over the full (BQ, S) tile). `skip_max`: drop the max-subtraction
-        # stability pass (safe while |scores| < ~88/127; opt-in).
+        # over the full (BQ, S) tile). Softmax stability variants (measured
+        # ~1 ms/layer for the full max reduce+subtract at B=32):
+        #   stable — classic row-max subtraction (bit-matches the oracle)
+        #   clamp  — one-sided min at 80 (87.3 in log2 space): EXACT while
+        #            row max < 80 (attention logits of this frozen backbone
+        #            sit around ±20), always finite above it; one elementwise
+        #            VPU pass instead of reduce+subtract
+        #   fast   — raw exp, zero stability passes (finite while |s| < 88)
         texp = jnp.exp2 if exp2 else jnp.exp
-        if skip_max:
+        if softmax == "clamp":
+            p = texp(jnp.minimum(scores, 80.0 * (_LOG2E if exp2 else 1.0)))
+        elif softmax == "fast":
             p = texp(scores)
         else:
             m = jnp.max(scores, axis=-1, keepdims=True)
             p = texp(scores - m)
         r = jnp.sum(p, axis=-1, keepdims=True)
+        if softmax != "stable":
+            # a fully-underflowed row (all logits < −87) divides 0/0 under
+            # stable-less softmax; the epsilon turns it into a zero row
+            # (relative perturbation 1e-30 — below bf16/f32 rounding)
+            r = r + 1e-30
         out = jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -486,11 +505,13 @@ def _pallas_attention_qkv_rel(
     interpret: bool = False,
     block_q: int = 784,
     exp2: bool = False,
-    skip_max: bool = False,
+    softmax: str = "stable",
     pack_rw: bool = False,
+    qkv_bias: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """qkv: (B, S, 3C); rh_tab: (Gh, 64, hd) / rw_tab: (Gw, 64, hd) — the
-    get_rel_pos-interpolated tables zero-padded to 64 key slots. Returns
+    get_rel_pos-interpolated tables zero-padded to 64 key slots; qkv_bias:
+    optional (3, C) projection bias added in-kernel (None → zeros). Returns
     (B, S, C) merged-head attention output with the decomposed rel-pos bias
     terms produced inside the kernel (see _kernel_qkv_rel)."""
     b, s, c3 = qkv.shape
@@ -513,6 +534,10 @@ def _pallas_attention_qkv_rel(
         ew = (ks[:, None] % gw == jnp.arange(64)[None, :]).astype(qkv.dtype)  # (S, 64)
     else:
         ew = (jnp.arange(64)[:, None] == ks[None, :] % gw).astype(qkv.dtype)  # (64, S)
+    if qkv_bias is None:
+        qkv_bias = jnp.zeros((3, c), qkv.dtype)
+    assert qkv_bias.shape == (3, c), qkv_bias.shape
+    qkv_bias = qkv_bias.astype(qkv.dtype)
     if exp2:
         # move the softmax into base-2 log space: exp(s) == exp2(s·log2e),
         # with log2e folded into the score scale and the (jit-constant) rel
@@ -522,7 +547,7 @@ def _pallas_attention_qkv_rel(
         rh_tab = rh_tab * _LOG2E
         rw_tab = rw_tab * _LOG2E
     kernel = functools.partial(
-        _kernel_qkv_rel, scale=scale, hd=hd, gw=gw, exp2=exp2, skip_max=skip_max,
+        _kernel_qkv_rel, scale=scale, hd=hd, gw=gw, exp2=exp2, softmax=softmax,
         pack_rw=pack_rw,
     )
     ew_spec = (
@@ -537,6 +562,7 @@ def _pallas_attention_qkv_rel(
             pl.BlockSpec((1, bq, 128), lambda g, h, i: (g, i, h), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, 128), lambda g, h, i: (g, 0, qblk + h), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, 128), lambda g, h, i: (g, 0, 2 * qblk + h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda g, h, i: (0, h), memory_space=pltpu.VMEM),
             pl.BlockSpec((yb, 64, hd), lambda g, h, i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gw, 64, hd), lambda g, h, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM),
@@ -551,14 +577,34 @@ def _pallas_attention_qkv_rel(
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(qkv, qkv, qkv, rh_tab, rw_tab, eh, ew)
+    )(qkv, qkv, qkv, qkv_bias, rh_tab, rw_tab, eh, ew)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, scale: float, gw: int, num_heads: int):
+def _resolve_softmax(dtype) -> str:
+    """Softmax stability mode for the rel-in-kernel forward.
+
+    Priority: BEACH_SEG_TPU_ATTN_SOFTMAX=stable|clamp|fast, then the legacy
+    BEACH_SEG_TPU_ATTN_NO_MAX flag (→ fast), then by compute dtype — bf16
+    (the production inference/training path, logits ≈ ±20 for this frozen
+    backbone) takes the one-pass `clamp` (exact while row max < 80, always
+    finite); fp32 (parity oracles) keeps the bit-stable `stable`."""
+    import os
+
+    mode = os.environ.get("BEACH_SEG_TPU_ATTN_SOFTMAX", "")
+    if mode in ("stable", "clamp", "fast"):
+        return mode
+    if env_flag("BEACH_SEG_TPU_ATTN_NO_MAX"):
+        return "fast"
+    return "clamp" if dtype == jnp.bfloat16 else "stable"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_attention_qkv_rel(qkv4, qkv_bias, rh_tab, rw_tab, scale: float, gw: int, num_heads: int):
     """Transpose-free fused attention on the (B, S, 3, C) qkv layout with the
     decomposed rel-pos terms produced INSIDE the kernel from the padded
-    (Gh, 64, hd)/(Gw, 64, hd) tables. Returns (B, S, C) merged heads.
+    (Gh, 64, hd)/(Gw, 64, hd) tables and the (3, C) qkv projection bias added
+    in-kernel (pass zeros when the projection has no bias). Returns (B, S, C)
+    merged heads.
 
     The (B, S, 3, C) layout (a free reshape of a (C, 3, C)-shaped qkv
     projection's output) exists for tensor parallelism: C is head-major, so
@@ -581,36 +627,37 @@ def fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, scale: float, gw: int, num_hea
     mp = model_axis_size()
     # softmax micro-variants (measured knobs; see _kernel_qkv_rel docstring):
     # exp2 is numerically equivalent (log2e folded into scale + tables);
-    # NO_MAX drops the stability pass and requires |logits| < ~88
+    # the stability mode is resolved per compute dtype (_resolve_softmax)
     exp2 = env_flag("BEACH_SEG_TPU_ATTN_EXP2")
-    skip_max = env_flag("BEACH_SEG_TPU_ATTN_NO_MAX")
+    softmax = _resolve_softmax(qkv4.dtype)
     pack_rw = env_flag("BEACH_SEG_TPU_ATTN_PACK_RW")
 
-    def fn(qkv4_loc, rh, rw):
+    def fn(qkv4_loc, bias_loc, rh, rw):
         bl, sl, _, cl = qkv4_loc.shape
         nh_loc = num_heads * cl // c
         return _pallas_attention_qkv_rel(
             qkv4_loc.reshape(bl, sl, 3 * cl), rh, rw, scale, nh_loc,
-            interpret=interpret, exp2=exp2, skip_max=skip_max, pack_rw=pack_rw,
+            interpret=interpret, exp2=exp2, softmax=softmax, pack_rw=pack_rw,
+            qkv_bias=bias_loc,
         )
 
     if mp > 1 and num_heads % mp == 0 and (num_heads // mp) % 2 == 0:
         return data_sharded_call(
-            fn, (qkv4, rh_tab, rw_tab), (True, False, False),
-            model_dims=(3, None, None), out_model_dim=2,
+            fn, (qkv4, qkv_bias, rh_tab, rw_tab), (True, False, False, False),
+            model_dims=(3, 1, None, None), out_model_dim=2,
         )
-    return data_sharded_call(fn, (qkv4, rh_tab, rw_tab), (True, False, False))
+    return data_sharded_call(fn, (qkv4, qkv_bias, rh_tab, rw_tab), (True, False, False, False))
 
 
-def _qkv_rel_fwd(qkv4, rh_tab, rw_tab, scale, gw, num_heads):
-    out = fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, scale, gw, num_heads)
-    return out, (qkv4, rh_tab, rw_tab)
+def _qkv_rel_fwd(qkv4, qkv_bias, rh_tab, rw_tab, scale, gw, num_heads):
+    out = fused_attention_qkv_rel(qkv4, qkv_bias, rh_tab, rw_tab, scale, gw, num_heads)
+    return out, (qkv4, qkv_bias, rh_tab, rw_tab)
 
 
 def _qkv_rel_bwd(scale, gw, num_heads, res, g):
-    qkv4, rh_tab, rw_tab = res
+    qkv4, qkv_bias, rh_tab, rw_tab = res
     b, s, _, c = qkv4.shape
-    qkv = qkv4.reshape(b, s, 3 * c)
+    qkv = qkv4.reshape(b, s, 3 * c) + qkv_bias.reshape(3 * c).astype(qkv4.dtype)
     c3 = 3 * c
     hd = c // num_heads
     gh = s // gw
@@ -653,7 +700,9 @@ def _qkv_rel_bwd(scale, gw, num_heads, res, g):
         .transpose(1, 3, 0, 2, 4)
         .reshape(b, s, 3, c)
     )
-    return dqkv4, drh_tab, drw_tab
+    # qkv enters as qkv4 + bias (broadcast), so dbias is the (b, s) reduction
+    dbias = dqkv4.astype(jnp.float32).sum((0, 1)).astype(qkv_bias.dtype)
+    return dqkv4, dbias, drh_tab, drw_tab
 
 
 fused_attention_qkv_rel.defvjp(_qkv_rel_fwd, _qkv_rel_bwd)

@@ -86,19 +86,21 @@ def main():
         rh, rw = rel_pos_terms_split(q4, rph, rpw, (GH, GW), (GH, GW))
         return fused_attention_qkv(qkv, rh, rw, HD**-0.5, GH, GW, NH)
 
+    zbias = jnp.zeros((3, C), DT)
+
     def rel_in_kernel(qkv, rph, rpw):
         rh_tab, rw_tab = rel_tables_padded(rph, rpw, (GH, GW), (GH, GW))
         return fused_attention_qkv_rel(
-            qkv.reshape(B, S, 3, C), rh_tab, rw_tab, HD**-0.5, GW, NH
+            qkv.reshape(B, S, 3, C), zbias, rh_tab, rw_tab, HD**-0.5, GW, NH
         )
 
-    def rel_in_kernel_variant(exp2, skip_max, pack_rw=False, block_q=784):
+    def rel_in_kernel_variant(exp2, softmax="stable", pack_rw=False, block_q=784):
         from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
 
         def fn(qkv, rph, rpw):
             rh_tab, rw_tab = rel_tables_padded(rph, rpw, (GH, GW), (GH, GW))
             return _pallas_attention_qkv_rel(
-                qkv, rh_tab, rw_tab, HD**-0.5, NH, exp2=exp2, skip_max=skip_max,
+                qkv, rh_tab, rw_tab, HD**-0.5, NH, exp2=exp2, softmax=softmax,
                 pack_rw=pack_rw, block_q=block_q,
             )
 
@@ -109,16 +111,18 @@ def main():
     if which in ("all", "relk"):
         timeit("rel-in-kernel (tables in)", rel_in_kernel, qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "softmax"):
-        timeit("rel-in-kernel exp2", rel_in_kernel_variant(True, False), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel no-max", rel_in_kernel_variant(False, True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel exp2+no-max", rel_in_kernel_variant(True, True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel exp2", rel_in_kernel_variant(True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel no-max", rel_in_kernel_variant(False, "fast"), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel exp2+no-max", rel_in_kernel_variant(True, "fast"), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel clamp", rel_in_kernel_variant(False, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel exp2+clamp", rel_in_kernel_variant(True, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "packrw"):
-        timeit("rel-in-kernel pack-rw", rel_in_kernel_variant(False, False, True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel exp2+pack-rw", rel_in_kernel_variant(True, False, True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel exp2+no-max+pack-rw", rel_in_kernel_variant(True, True, True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel pack-rw", rel_in_kernel_variant(False, "stable", True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel exp2+pack-rw", rel_in_kernel_variant(True, "stable", True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel exp2+no-max+pack-rw", rel_in_kernel_variant(True, "fast", True), qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "blockq"):
-        timeit("rel-in-kernel bq=S (one q-block)", rel_in_kernel_variant(False, False, False, S), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel bq=392", rel_in_kernel_variant(False, False, False, 392), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel bq=S (one q-block)", rel_in_kernel_variant(False, "stable", False, S), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel bq=392", rel_in_kernel_variant(False, "stable", False, 392), qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "kernel"):
         timeit("kernel_only (split rel)", kernel_only, qkv, (rel_h64, rel_w64), flops=attn_flops, m=4)
     if which in ("all", "producer"):

@@ -192,40 +192,44 @@ def test_qkv_kernel_gradients_match(qkv_inputs):
 
 
 def test_qkv_rel_kernel_matches_reference(qkv_inputs):
-    """The rel-in-kernel path (tables in, terms produced inside the kernel)."""
+    """The rel-in-kernel path (tables in, terms produced inside the kernel),
+    including the in-kernel (3, C) qkv-bias add: the oracle adds the bias to
+    the flat qkv before head unpacking, the kernel adds it in VMEM."""
     from beach_seg_tpu.ops.attention import rel_tables_padded
     from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
 
     qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
     s = gh * gw
     c = nh * hd
-    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
+    bias = jnp.asarray(np.random.default_rng(7).standard_normal((3, c)), jnp.float32)
+    ref = _qkv_reference(qkv + bias.reshape(3 * c), rph, rpw, b, nh, hd, gh, gw)
     rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
     qkv4 = qkv.reshape(b, s, 3, c)
-    got = fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, hd**-0.5, gw, nh)
+    got = fused_attention_qkv_rel(qkv4, bias, rh_tab, rw_tab, hd**-0.5, gw, nh)
     assert got.shape == (b, s, c)
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
 
 
 def test_qkv_rel_kernel_gradients_match(qkv_inputs):
-    """Gradients w.r.t. qkv AND the rel tables through the rel-in-kernel
-    custom_vjp must match the reference formulation."""
+    """Gradients w.r.t. qkv, the in-kernel bias AND the rel tables through
+    the rel-in-kernel custom_vjp must match the reference formulation."""
     from beach_seg_tpu.ops.attention import rel_tables_padded
     from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
 
     qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
     c = nh * hd
+    bias = jnp.asarray(np.random.default_rng(8).standard_normal((3, c)), jnp.float32)
 
-    def loss_fused(qkv, rph, rpw):
+    def loss_fused(qkv, bias, rph, rpw):
         rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
         qkv4 = qkv.reshape(qkv.shape[0], qkv.shape[1], 3, c)
-        return jnp.sum(fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, hd**-0.5, gw, nh) ** 2)
+        return jnp.sum(fused_attention_qkv_rel(qkv4, bias, rh_tab, rw_tab, hd**-0.5, gw, nh) ** 2)
 
-    def loss_ref(qkv, rph, rpw):
-        return jnp.sum(_qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw) ** 2)
+    def loss_ref(qkv, bias, rph, rpw):
+        return jnp.sum(_qkv_reference(qkv + bias.reshape(3 * c), rph, rpw, b, nh, hd, gh, gw) ** 2)
 
-    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(qkv, rph, rpw)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, rph, rpw)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(qkv, bias, rph, rpw)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(qkv, bias, rph, rpw)
     for a, r in zip(g_fused, g_ref):
         err = np.abs(np.asarray(a) - np.asarray(r)).max()
         assert err / max(np.abs(np.asarray(r)).max(), 1e-9) < 1e-5
@@ -240,24 +244,40 @@ def test_qkv_rel_env_knobs_wiring(qkv_inputs, monkeypatch):
     qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
     s = gh * gw
     c = nh * hd
+    zb = jnp.zeros((3, c), jnp.float32)
     monkeypatch.setenv("BEACH_SEG_TPU_ATTN_EXP2", "1")
     monkeypatch.setenv("BEACH_SEG_TPU_ATTN_NO_MAX", "1")
     monkeypatch.setenv("BEACH_SEG_TPU_ATTN_PACK_RW", "1")
     ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
     rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
-    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), rh_tab, rw_tab, hd**-0.5, gw, nh)
+    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
 
 
+def test_qkv_rel_softmax_mode_resolution(monkeypatch):
+    """_resolve_softmax: env override wins; otherwise bf16→clamp, f32→stable."""
+    from beach_seg_tpu.ops.pallas_attn import _resolve_softmax
+
+    monkeypatch.delenv("BEACH_SEG_TPU_ATTN_SOFTMAX", raising=False)
+    monkeypatch.delenv("BEACH_SEG_TPU_ATTN_NO_MAX", raising=False)
+    assert _resolve_softmax(jnp.bfloat16) == "clamp"
+    assert _resolve_softmax(jnp.float32) == "stable"
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_NO_MAX", "1")
+    assert _resolve_softmax(jnp.float32) == "fast"
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_SOFTMAX", "stable")
+    assert _resolve_softmax(jnp.bfloat16) == "stable"
+
+
 @pytest.mark.parametrize(
-    "exp2,skip_max,pack_rw",
-    [(True, False, False), (False, True, False), (True, True, False),
-     (False, False, True), (True, True, True)],
+    "exp2,softmax,pack_rw",
+    [(True, "stable", False), (False, "fast", False), (True, "fast", False),
+     (False, "clamp", False), (True, "clamp", False),
+     (False, "stable", True), (True, "fast", True)],
 )
-def test_qkv_rel_softmax_variants_match(qkv_inputs, exp2, skip_max, pack_rw):
+def test_qkv_rel_softmax_variants_match(qkv_inputs, exp2, softmax, pack_rw):
     """The exp2-folded softmax (log2e absorbed into scale + tables), the
-    max-skip variant and the packed-rel_w contraction must agree with the
-    reference up to rounding."""
+    clamp/fast stability variants and the packed-rel_w contraction must agree
+    with the reference up to rounding."""
     from beach_seg_tpu.ops.attention import rel_tables_padded
     from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
 
@@ -268,6 +288,6 @@ def test_qkv_rel_softmax_variants_match(qkv_inputs, exp2, skip_max, pack_rw):
     rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
     got = _pallas_attention_qkv_rel(
         qkv.reshape(b, s, 3 * c), rh_tab, rw_tab, hd**-0.5, nh,
-        interpret=True, exp2=exp2, skip_max=skip_max, pack_rw=pack_rw,
+        interpret=True, exp2=exp2, softmax=softmax, pack_rw=pack_rw,
     )
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4

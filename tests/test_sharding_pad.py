@@ -129,12 +129,13 @@ def test_qkv_rel_kernel_tp_head_sharded():
     rpw = jnp.asarray(rng.standard_normal((2 * gw - 1, hd)), jnp.float32)
     rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
     scale = hd**-0.5
+    bias = jnp.asarray(rng.standard_normal((3, c)) * 0.1, jnp.float32)
 
-    want = np.asarray(fused_attention_qkv_rel(qkv4, rh_tab, rw_tab, scale, gw, nh))
+    want = np.asarray(fused_attention_qkv_rel(qkv4, bias, rh_tab, rw_tab, scale, gw, nh))
 
     mesh = make_mesh(data=4, model=2)
     with jax.sharding.set_mesh(mesh):
-        got = jax.jit(lambda *a: fused_attention_qkv_rel(*a, scale, gw, nh))(qkv4, rh_tab, rw_tab)
+        got = jax.jit(lambda *a: fused_attention_qkv_rel(*a, scale, gw, nh))(qkv4, bias, rh_tab, rw_tab)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
 
