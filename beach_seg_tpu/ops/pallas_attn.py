@@ -389,7 +389,7 @@ fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
 def _kernel_qkv_rel(
     q_ref, k_ref, v_ref, bias_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref,
     *, scale: float, hd: int, gw: int, exp2: bool = False, softmax: str = "stable",
-    pack_rw: bool = False,
+    pack_rw: bool = False, interleave: bool = False,
 ):
     """_kernel_qkv with the rel-pos TERMS produced inside the kernel.
 
@@ -431,11 +431,10 @@ def _kernel_qkv_rel(
     ew = ew_ref[...]  # (S, 64) transposed when pack_rw, else (64, S)
     bq = qb2.shape[0]
     yb = bq // gw
-    halves = []
-    for j in (0, 1):
+
+    def _scores(j):
         qb = qb2[:, j * hd : (j + 1) * hd]
         kb = kb2[:, j * hd : (j + 1) * hd]
-        vb = vb2[:, j * hd : (j + 1) * hd]
         q3 = qb.reshape(yb, gw, hd)
         rel_h = jax.lax.dot_general(
             q3, rh_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -449,18 +448,19 @@ def _kernel_qkv_rel(
         if pack_rw:
             qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb, rwb], axis=-1)
             kh = jnp.concatenate([kb, eh, ew], axis=-1)
-            scores = jax.lax.dot_general(
+            return jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-        else:
-            qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb], axis=-1)
-            kh = jnp.concatenate([kb, eh], axis=-1)
-            scores = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            scores = scores + jax.lax.dot_general(
-                rwb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
+        qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb], axis=-1)
+        kh = jnp.concatenate([kb, eh], axis=-1)
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return scores + jax.lax.dot_general(
+            rwb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def _probs(scores):
         # `exp2`: the wrapper pre-folds log2(e) into `scale` AND the rel
         # tables, so scores are already in base-2 log space — exp2 is the
         # VPU's native transcendental (exp lowers to exp2 + a multiply pass
@@ -486,10 +486,32 @@ def _kernel_qkv_rel(
             # stable-less softmax; the epsilon turns it into a zero row
             # (relative perturbation 1e-30 — below bf16/f32 rounding)
             r = r + 1e-30
+        return p, r
+
+    def _pv(p, r, j):
+        vb = vb2[:, j * hd : (j + 1) * hd]
         out = jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        halves.append(out / r)
+        return out / r
+
+    if interleave:
+        # software-pipeline the two halves: emit half 1's scores matmuls
+        # (MXU) before half 0's softmax (VPU) so the scheduler can overlap
+        # them, and half 0's PV matmul (MXU) before half 1's softmax (VPU).
+        # Identical per-half fp op sequence — only the emission ORDER changes
+        s0 = _scores(0)
+        s1 = _scores(1)
+        p0, r0 = _probs(s0)
+        o0 = _pv(p0, r0, 0)
+        p1, r1 = _probs(s1)
+        o1 = _pv(p1, r1, 1)
+        halves = [o0, o1]
+    else:
+        halves = []
+        for j in (0, 1):
+            p, r = _probs(_scores(j))
+            halves.append(_pv(p, r, j))
     out_ref[0] = jnp.concatenate(halves, axis=-1).astype(out_ref.dtype)
 
 
@@ -508,6 +530,7 @@ def _pallas_attention_qkv_rel(
     softmax: str = "stable",
     pack_rw: bool = False,
     qkv_bias: jnp.ndarray | None = None,
+    interleave: bool = False,
 ) -> jnp.ndarray:
     """qkv: (B, S, 3C); rh_tab: (Gh, 64, hd) / rw_tab: (Gw, 64, hd) — the
     get_rel_pos-interpolated tables zero-padded to 64 key slots; qkv_bias:
@@ -548,7 +571,7 @@ def _pallas_attention_qkv_rel(
         rw_tab = rw_tab * _LOG2E
     kernel = functools.partial(
         _kernel_qkv_rel, scale=scale, hd=hd, gw=gw, exp2=exp2, softmax=softmax,
-        pack_rw=pack_rw,
+        pack_rw=pack_rw, interleave=interleave,
     )
     ew_spec = (
         pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM)
@@ -631,6 +654,11 @@ def fused_attention_qkv_rel(qkv4, qkv_bias, rh_tab, rw_tab, scale: float, gw: in
     exp2 = env_flag("BEACH_SEG_TPU_ATTN_EXP2")
     softmax = _resolve_softmax(qkv4.dtype)
     pack_rw = env_flag("BEACH_SEG_TPU_ATTN_PACK_RW")
+    # statement-order software pipelining of the two head halves: measured a
+    # dead tie at the headline (62.65 vs 62.66 tiles/s — Mosaic's scheduler
+    # already extracts the MXU/VPU overlap), so it stays opt-in for the
+    # microbench's A/B surface
+    interleave = env_flag("BEACH_SEG_TPU_ATTN_INTERLEAVE")
 
     def fn(qkv4_loc, bias_loc, rh, rw):
         bl, sl, _, cl = qkv4_loc.shape
@@ -638,7 +666,7 @@ def fused_attention_qkv_rel(qkv4, qkv_bias, rh_tab, rw_tab, scale: float, gw: in
         return _pallas_attention_qkv_rel(
             qkv4_loc.reshape(bl, sl, 3 * cl), rh, rw, scale, nh_loc,
             interpret=interpret, exp2=exp2, softmax=softmax, pack_rw=pack_rw,
-            qkv_bias=bias_loc,
+            qkv_bias=bias_loc, interleave=interleave,
         )
 
     if mp > 1 and num_heads % mp == 0 and (num_heads // mp) % 2 == 0:

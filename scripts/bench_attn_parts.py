@@ -94,14 +94,14 @@ def main():
             qkv.reshape(B, S, 3, C), zbias, rh_tab, rw_tab, HD**-0.5, GW, NH
         )
 
-    def rel_in_kernel_variant(exp2, softmax="stable", pack_rw=False, block_q=784):
+    def rel_in_kernel_variant(exp2, softmax="stable", pack_rw=False, block_q=784, interleave=False):
         from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
 
         def fn(qkv, rph, rpw):
             rh_tab, rw_tab = rel_tables_padded(rph, rpw, (GH, GW), (GH, GW))
             return _pallas_attention_qkv_rel(
                 qkv, rh_tab, rw_tab, HD**-0.5, NH, exp2=exp2, softmax=softmax,
-                pack_rw=pack_rw, block_q=block_q,
+                pack_rw=pack_rw, block_q=block_q, interleave=interleave,
             )
 
         return fn
@@ -120,6 +120,19 @@ def main():
         timeit("rel-in-kernel pack-rw", rel_in_kernel_variant(False, "stable", True), qkv, (rph, rpw), flops=attn_flops, m=4)
         timeit("rel-in-kernel exp2+pack-rw", rel_in_kernel_variant(True, "stable", True), qkv, (rph, rpw), flops=attn_flops, m=4)
         timeit("rel-in-kernel exp2+no-max+pack-rw", rel_in_kernel_variant(True, "fast", True), qkv, (rph, rpw), flops=attn_flops, m=4)
+    if which in ("all", "interleave"):
+        timeit("rel-in-kernel seq (stable)", rel_in_kernel_variant(False, "stable"), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel interleave (stable)", rel_in_kernel_variant(False, "stable", interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel seq (clamp)", rel_in_kernel_variant(False, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel interleave (clamp)", rel_in_kernel_variant(False, "clamp", interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel interleave bq=392", rel_in_kernel_variant(False, "clamp", block_q=392, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+    if which in ("all", "ilvsweep"):
+        timeit("ilv-sweep seq bq=392 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=392), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("ilv-sweep ilv bq=784 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=784, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("ilv-sweep ilv bq=392 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=392, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("ilv-sweep ilv bq=224 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=224, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("ilv-sweep ilv bq=112 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=112, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("ilv-sweep seq bq=224 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=224), qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "blockq"):
         timeit("rel-in-kernel bq=S (one q-block)", rel_in_kernel_variant(False, "stable", False, S), qkv, (rph, rpw), flops=attn_flops, m=4)
         timeit("rel-in-kernel bq=392", rel_in_kernel_variant(False, "stable", False, 392), qkv, (rph, rpw), flops=attn_flops, m=4)
@@ -133,3 +146,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+# (sweep entry used by `python scripts/bench_attn_parts.py ilvsweep`)
