@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--width-crops", type=int, default=40)
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--debug", action="store_true")
+    ap.add_argument(
+        "--steps", type=int, default=0,
+        help="instead of the e2e loop, time N steady-state fused train_step "
+        "calls (the VERDICT ms/step metric) — same tuner/shardings as "
+        "run_training, salted batches, checksum-chained",
+    )
+    ap.add_argument("--sync", action="store_true", help="block on the full state every step")
     args = ap.parse_args()
     if args.debug:
         import jax
@@ -61,6 +68,10 @@ def main() -> None:
         scene = create_scene(conf, train=True)
         n_tiles = len(scene.crops) * args.epochs
 
+        if args.steps:
+            _bench_steps(conf, scene, args)
+            return
+
         t0 = time.perf_counter()
         run_training(conf, scene=scene)
         cold = time.perf_counter() - t0
@@ -80,6 +91,93 @@ def main() -> None:
         }))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bench_steps(conf, scene, args) -> None:
+    """Steady-state fused train_step timing (aug → forward → loss → grad →
+    AdamW → EMA → confusion), same tuner/mesh/shardings as run_training.
+    Elision-proof: every step consumes the previous state and a salted batch,
+    and the final loss is fetched."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from beach_seg_tpu.data.dataset import BeachSegDataset, materialize_prompts
+    from beach_seg_tpu.parallel.mesh import make_mesh, param_sharding, replicated
+    from beach_seg_tpu.train.loop import model_for_config
+    from beach_seg_tpu.train.prompt_tuner import PromptTuner
+    from beach_seg_tpu.models.seggpt.load import load_model_params
+
+    prompts = materialize_prompts(scene, conf)
+    dataset = BeachSegDataset(scene, conf)
+    num_prompts = len(scene.crops)
+    model, model_cfg = model_for_config(conf)
+    params = load_model_params(conf.checkpoint, model, model_cfg)
+    mesh = make_mesh(conf.mesh_data, conf.mesh_model)
+    steps_per_epoch = max(1, math.ceil(len(dataset) / conf.batch_size))
+    tuner = PromptTuner(model=model, conf=conf, num_prompts=num_prompts, steps_per_epoch=steps_per_epoch)
+
+    b, h, w = conf.batch_size, conf.inpt_size, conf.inpt_size
+    rng = np.random.default_rng(0)
+    with jax.sharding.set_mesh(mesh):
+        params = jax.device_put(params, param_sharding(mesh, params))
+        pmasks = jax.device_put(jnp.asarray(prompts["masks"], jnp.int32), replicated(mesh))
+        pnodata = jax.device_put(jnp.asarray(prompts["nodata"]), replicated(mesh))
+        state = jax.device_put(tuner.init_state(prompts["pixels"]), replicated(mesh))
+
+        def batch_for(i):
+            return {
+                "image": jnp.asarray(rng.random((b, h, w, 3)), jnp.float32),
+                "mask": jnp.asarray(rng.integers(0, 4, (b, h, w)), jnp.int32),
+                "nodata": jnp.zeros((b, h, w), bool),
+                "crop_idx": jnp.asarray(rng.integers(0, num_prompts, (b,)), jnp.int32),
+                "valid": jnp.ones((b,), bool),
+            }
+
+        # Scan-chained measurement: N steps inside ONE executable whose only
+        # output is a scalar checksum through every step's loss AND the final
+        # prompt pixels. Per-dispatch timing is untrustworthy through the
+        # tunneled runtime here (donated-aliased state buffers report ready
+        # before execution finishes — observed 71 "ms/step" for a program
+        # whose forward alone is ~130 ms), and a full state fetch costs ~24 s
+        # of tunnel bandwidth; a scalar leaves nothing to alias or fetch.
+        one_batch = jax.block_until_ready(batch_for(0))
+
+        def chain(state, key, batch, n):
+            def body(carry, i):
+                st, acc = carry
+                k = jax.random.fold_in(key, i)
+                # salt the batch per step: distinct computations, no CSE
+                b2 = dict(batch, image=batch["image"] * (1.0 + i.astype(jnp.float32) * 1e-4))
+                st, metrics = tuner.train_step(st, params, pmasks, pnodata, b2, k)
+                return (st, acc + metrics["loss"]), None
+
+            (st, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)), jnp.arange(n))
+            return acc + st.prompt_pixels.astype(jnp.float32).sum()
+
+        chain1 = jax.jit(lambda s, k, b: chain(s, k, b, 1))
+        chainn = jax.jit(lambda s, k, b: chain(s, k, b, args.steps))
+        float(chain1(state, jax.random.PRNGKey(1), one_batch))  # compile
+        float(chainn(state, jax.random.PRNGKey(1), one_batch))  # compile
+        t1 = tn = None
+        for _ in range(2):  # min over trials
+            t0 = time.perf_counter()
+            float(chain1(state, jax.random.PRNGKey(2), one_batch))
+            t1 = min(t1 or 9e9, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(chainn(state, jax.random.PRNGKey(2), one_batch))
+            tn = min(tn or 9e9, time.perf_counter() - t0)
+        dt = (tn - t1) / (args.steps - 1) * args.steps  # differential, per full run
+        metrics = {"loss": jnp.float32(-1)}
+    ms = dt / args.steps * 1000
+    print(json.dumps({
+        "metric": "train_step_ms", "value": round(ms, 1), "unit": "ms/step",
+        "batch": b, "tiles_per_sec_trained": round(b / (dt / args.steps), 2),
+        "steps": args.steps,
+        "method": "differential scan-chain (N-in-one-jit vs 1), scalar checksum",
+    }))
 
 
 if __name__ == "__main__":
