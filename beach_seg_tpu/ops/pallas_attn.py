@@ -389,7 +389,7 @@ fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
 def _kernel_qkv_rel(
     q_ref, k_ref, v_ref, bias_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref,
     *, scale: float, hd: int, gw: int, exp2: bool = False, softmax: str = "stable",
-    pack_rw: bool = False, interleave: bool = False,
+    pack_rw: bool = False, interleave: bool = False, fused_sum: bool = False,
 ):
     """_kernel_qkv with the rel-pos TERMS produced inside the kernel.
 
@@ -480,6 +480,10 @@ def _kernel_qkv_rel(
         else:
             m = jnp.max(scores, axis=-1, keepdims=True)
             p = texp(scores - m)
+        if fused_sum:
+            # normalization rides the PV matmul's wasted output-lane padding
+            # (see _pv) — no standalone (BQ, S)-wide VPU reduce
+            return p, None
         r = jnp.sum(p, axis=-1, keepdims=True)
         if softmax != "stable":
             # a fully-underflowed row (all logits < −87) divides 0/0 under
@@ -490,6 +494,24 @@ def _kernel_qkv_rel(
 
     def _pv(p, r, j):
         vb = vb2[:, j * hd : (j + 1) * hd]
+        if r is None:
+            # `fused_sum`: the PV output is hd=64 lanes padded to a 128-lane
+            # MXU tile anyway — augmenting V with an all-ones 64-lane block
+            # makes the pad lanes compute the softmax row-sum (64 identical
+            # copies, f32-accumulated) in the SAME pass, replacing the
+            # explicit (BQ, S) reduce. Numerator and denominator then share
+            # the bf16-rounded p, so the rounding largely cancels in the
+            # ratio (a consistent weighted mean with perturbed weights).
+            s = vb.shape[0]
+            vb1 = jnp.concatenate([vb, jnp.ones((s, hd), vb.dtype)], axis=-1)
+            pv = jax.lax.dot_general(
+                p.astype(vb.dtype), vb1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            den = pv[:, hd:]
+            if softmax != "stable":
+                den = den + 1e-30
+            return pv[:, :hd] / den
         out = jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -531,6 +553,7 @@ def _pallas_attention_qkv_rel(
     pack_rw: bool = False,
     qkv_bias: jnp.ndarray | None = None,
     interleave: bool = False,
+    fused_sum: bool = False,
 ) -> jnp.ndarray:
     """qkv: (B, S, 3C); rh_tab: (Gh, 64, hd) / rw_tab: (Gw, 64, hd) — the
     get_rel_pos-interpolated tables zero-padded to 64 key slots; qkv_bias:
@@ -571,7 +594,7 @@ def _pallas_attention_qkv_rel(
         rw_tab = rw_tab * _LOG2E
     kernel = functools.partial(
         _kernel_qkv_rel, scale=scale, hd=hd, gw=gw, exp2=exp2, softmax=softmax,
-        pack_rw=pack_rw, interleave=interleave,
+        pack_rw=pack_rw, interleave=interleave, fused_sum=fused_sum,
     )
     ew_spec = (
         pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM)
@@ -659,6 +682,10 @@ def fused_attention_qkv_rel(qkv4, qkv_bias, rh_tab, rw_tab, scale: float, gw: in
     # already extracts the MXU/VPU overlap), so it stays opt-in for the
     # microbench's A/B surface
     interleave = env_flag("BEACH_SEG_TPU_ATTN_INTERLEAVE")
+    # ride the softmax row-sum on the PV matmul's 64→128 output-lane padding
+    # (removes the explicit (BQ, S) reduce — see _kernel_qkv_rel._pv);
+    # opt-in until a headline A/B on hardware records a win
+    fused_sum = env_flag("BEACH_SEG_TPU_ATTN_FUSED_SUM")
 
     def fn(qkv4_loc, bias_loc, rh, rw):
         bl, sl, _, cl = qkv4_loc.shape
@@ -666,7 +693,7 @@ def fused_attention_qkv_rel(qkv4, qkv_bias, rh_tab, rw_tab, scale: float, gw: in
         return _pallas_attention_qkv_rel(
             qkv4_loc.reshape(bl, sl, 3 * cl), rh, rw, scale, nh_loc,
             interpret=interpret, exp2=exp2, softmax=softmax, pack_rw=pack_rw,
-            qkv_bias=bias_loc, interleave=interleave,
+            qkv_bias=bias_loc, interleave=interleave, fused_sum=fused_sum,
         )
 
     if mp > 1 and num_heads % mp == 0 and (num_heads // mp) % 2 == 0:

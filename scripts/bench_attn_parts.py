@@ -94,7 +94,7 @@ def main():
             qkv.reshape(B, S, 3, C), zbias, rh_tab, rw_tab, HD**-0.5, GW, NH
         )
 
-    def rel_in_kernel_variant(exp2, softmax="stable", pack_rw=False, block_q=784, interleave=False):
+    def rel_in_kernel_variant(exp2, softmax="stable", pack_rw=False, block_q=784, interleave=False, fused_sum=False):
         from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
 
         def fn(qkv, rph, rpw):
@@ -102,6 +102,7 @@ def main():
             return _pallas_attention_qkv_rel(
                 qkv, rh_tab, rw_tab, HD**-0.5, NH, exp2=exp2, softmax=softmax,
                 pack_rw=pack_rw, block_q=block_q, interleave=interleave,
+                fused_sum=fused_sum,
             )
 
         return fn
@@ -133,6 +134,11 @@ def main():
         timeit("ilv-sweep ilv bq=224 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=224, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
         timeit("ilv-sweep ilv bq=112 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=112, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
         timeit("ilv-sweep seq bq=224 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=224), qkv, (rph, rpw), flops=attn_flops, m=4)
+    if which in ("all", "fusedsum"):
+        timeit("fsum-sweep seq (clamp)", rel_in_kernel_variant(False, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("fsum-sweep fused-sum (clamp)", rel_in_kernel_variant(False, "clamp", fused_sum=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("fsum-sweep fused-sum (stable)", rel_in_kernel_variant(False, "stable", fused_sum=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("fsum-sweep fused-sum (fast)", rel_in_kernel_variant(False, "fast", fused_sum=True), qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "blockq"):
         timeit("rel-in-kernel bq=S (one q-block)", rel_in_kernel_variant(False, "stable", False, S), qkv, (rph, rpw), flops=attn_flops, m=4)
         timeit("rel-in-kernel bq=392", rel_in_kernel_variant(False, "stable", False, 392), qkv, (rph, rpw), flops=attn_flops, m=4)

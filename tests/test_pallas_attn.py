@@ -291,3 +291,41 @@ def test_qkv_rel_softmax_variants_match(qkv_inputs, exp2, softmax, pack_rw):
         interpret=True, exp2=exp2, softmax=softmax, pack_rw=pack_rw,
     )
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
+
+
+@pytest.mark.parametrize("softmax", ["stable", "clamp", "fast"])
+def test_qkv_rel_fused_sum_matches(qkv_inputs, softmax):
+    """`fused_sum` rides the softmax normalization on the PV matmul's padded
+    output lanes ([v ‖ 1] augmented operand) — must agree with the explicit
+    (BQ, S) reduce up to f32 accumulation-order rounding, through both the
+    private wrapper and the public env knob."""
+    from beach_seg_tpu.ops.attention import rel_tables_padded
+    from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel, fused_attention_qkv_rel
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    s = gh * gw
+    c = nh * hd
+    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
+    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
+    got = _pallas_attention_qkv_rel(
+        qkv.reshape(b, s, 3 * c), rh_tab, rw_tab, hd**-0.5, nh,
+        interpret=True, softmax=softmax, fused_sum=True,
+    )
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
+
+
+def test_qkv_rel_fused_sum_env_knob(qkv_inputs, monkeypatch):
+    """BEACH_SEG_TPU_ATTN_FUSED_SUM reaches the kernel through the public
+    entry point and keeps parity."""
+    from beach_seg_tpu.ops.attention import rel_tables_padded
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    s = gh * gw
+    c = nh * hd
+    zb = jnp.zeros((3, c), jnp.float32)
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_FUSED_SUM", "1")
+    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
+    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
+    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
