@@ -28,8 +28,6 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-import os
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -436,31 +434,11 @@ class Decoder(nn.Module):
 
         conv_kernel = self.param("conv_kernel", _trunc_normal(cfg.initializer_range), (3, 3, dh, dh), jnp.float32)
         conv_bias = self.param("conv_bias", nn.initializers.zeros, (dh,), jnp.float32)
-        if self.dtype == jnp.bfloat16 and os.environ.get("BEACH_SEG_TPU_FUSED_DECODER"):
-            # experimental: one Pallas launch for pixel-shuffle+Conv3×3+LN+
-            # GELU+head. Measured ~39 ms vs XLA's ~42 ms chain at B=32 —
-            # relayout-bound in Mosaic (see ops/pallas_decoder.py), so it is
-            # opt-in until the in-kernel shuffle lowers better.
-            from beach_seg_tpu.ops.pallas_decoder import decoder_tail
-
-            ln_scale, ln_bias = LayerNorm(dh, cfg.layer_norm_eps, name="layernorm")(return_params=True)
-            head_kernel = self.param("head_kernel", _trunc_normal(cfg.initializer_range), (dh, 3), jnp.float32)
-            head_bias = self.param("head_bias", nn.initializers.zeros, (3,), jnp.float32)
-            # cast to the module dtype: the kernel accumulates the head in
-            # fp32, but flipping the env flag must not change the model's
-            # output dtype vs the default path below (downstream fetch sizes
-            # and palette-decode numerics assume the policy dtype)
-            return decoder_tail(
-                h,
-                conv_kernel.astype(self.dtype),
-                conv_bias.astype(self.dtype),
-                ln_scale,
-                ln_bias,
-                head_kernel.astype(self.dtype),
-                head_bias.astype(jnp.float32),
-                cfg.layer_norm_eps,
-                True,
-            ).astype(self.dtype)
+        # A fused pixel-shuffle+Conv3×3+LN+GELU+head Pallas kernel was
+        # benchmarked here across three rounds (in-kernel shuffle and XLA
+        # pre-shuffle variants) and retired: final A/B on v5e at B=32 was
+        # 39.2 ms fused vs 39.0 ms for this XLA chain — Mosaic relayout
+        # costs eat the fusion win. See BENCHMARKS.md "decoder tail".
         # pixel shuffle: (B, gh, gw, p, p, dh) → (B, gh·p, gw·p, dh)
         h = h.reshape(b, gh, gw, p, p, dh).transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * p, gw * p, dh)
 
