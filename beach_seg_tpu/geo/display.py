@@ -86,8 +86,12 @@ def tif_image(data: np.ndarray, nodata: np.ndarray) -> np.ndarray:
         img[1] = data[2]
         img[2] = data[:2].mean(axis=0)
         min_val = img[:, ~nodata].min()
-        img = img.clip(min_val, 3000 + min_val) - min_val
-        img -= img[:, ~nodata].min()
+        img = img.clip(min_val, 3000 + min_val)
+        img -= min_val
+        # the reference subtracts the valid-pixel min a second time here
+        # (geo_util.py:461) — after the clip-to-[min, min+3000] and subtract,
+        # that min is exactly 0 (the global min is attained at a valid pixel
+        # and clip preserves it), so the pass is skipped bit-identically
         # promote integer rasters (Dove tifs are uint16) before the per-channel
         # normalize: the reference's in-place /= crashes on integer input
         # (geo_util.py:464 UFuncTypeError) — float values are identical
@@ -97,6 +101,9 @@ def tif_image(data: np.ndarray, nodata: np.ndarray) -> np.ndarray:
             img[i] /= img[i].max()
             img[i][nodata] = 0
         img = img.transpose(1, 2, 0).copy()
+    if np.issubdtype(img.dtype, np.floating):
+        np.multiply(img, 255, out=img)  # in-place: skip the full-frame temp
+        return img.astype(np.uint8)
     return np.array(img * 255, dtype=np.uint8)
 
 

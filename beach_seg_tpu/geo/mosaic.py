@@ -150,7 +150,10 @@ def reproject(
         n_x = min(w - xs0, out_w - xd0)
         if n_y > 0 and n_x > 0:
             out[:, yd0 : yd0 + n_y, xd0 : xd0 + n_x] = src[:, ys0 : ys0 + n_y, xs0 : xs0 + n_x]
-        return out.astype(src.dtype if method == "nearest" else np.float32)
+        want = src.dtype if method == "nearest" else np.float32
+        # astype always copies — skip it when the dtype already matches (a
+        # full-raster copy is a measurable share of merge time on small hosts)
+        return out if out.dtype == want else out.astype(want)
 
     if abs(sx - 1.0) < 1e-9 and abs(sy - 1.0) < 1e-9:
         out, valid_y = _translate_axis(src, 1, out_h, off_y, method)
@@ -161,7 +164,8 @@ def reproject(
         out = np.einsum("oh,chw,pw->cop", wy, src.astype(np.float32), wx, optimize=True)
     invalid = ~(valid_y[:, None] & valid_x[None, :])
     out[:, invalid] = fill
-    return out.astype(src.dtype if method == "nearest" else np.float32)
+    want = src.dtype if method == "nearest" else np.float32
+    return out if out.dtype == want else out.astype(want)
 
 
 def merge_tifs(
@@ -197,6 +201,15 @@ def merge_tifs(
         results = list(pool.map(load_one, ref_imgs))
     n_ch = results[0][0].shape[0]
     assert all(d.shape[0] == n_ch for d, _ in results)
+    if len(results) == 1:
+        # single-image date (the common case): the validity-weighted mean
+        # degenerates to "data where covered, 0 elsewhere" — data·1/1 is
+        # exact in IEEE, so this is bit-identical to the general path while
+        # skipping the stack/multiply/sum/divide full-raster passes
+        data, yes = results[0]
+        nodata = yes == 0
+        data[:, nodata] = 0.0  # fresh reproject output — safe to mutate
+        return tif_image(data, nodata), nodata
     dst_data = np.stack([d for d, _ in results])
     dst_yesdata = np.stack([y for _, y in results])
 
