@@ -122,7 +122,12 @@ def reproject(
 
     Scale-1 (equal pixel sizes — the only case this pipeline produces, the
     extent step asserts it) takes an O(H·W) constant-stencil path; unequal
-    scales fall back to the dense sampling-matrix formulation."""
+    scales fall back to the dense sampling-matrix formulation.
+
+    INVARIANT: the returned array is always freshly allocated and never
+    aliases ``src`` — callers (merge_tifs's fast path) mutate it in place.
+    Any future fast path (e.g. a zero-shift identity) must copy rather than
+    return ``src`` directly."""
     assert src_transform.b == 0 and src_transform.d == 0, "rotated source grid"
     assert dst_transform.b == 0 and dst_transform.d == 0, "rotated destination grid"
     c, h, w = src.shape

@@ -18,7 +18,9 @@ SURVEY.md quirk #8 — so this implements its *intended* behavior):
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
+import time
 from pathlib import Path
 
 import jax
@@ -52,6 +54,7 @@ CLASS_EXPORT_NAMES = {"water": "WetDryLine", "veg": "VegLine"}
 
 
 def run_legacy(conf: LegacyConfig) -> Path:
+    t_start = time.perf_counter()
     root = Path(conf.prediction_root or conf.model_training_root)
     out_dir = allocate_run_dir(root, conf.project, "legacy", jax.process_index())
     setup_logger(out_dir)
@@ -134,7 +137,20 @@ def run_legacy(conf: LegacyConfig) -> Path:
             to_run,
             lambda paths: merge_tifs(paths, scene.out_shape, scene.out_transform, scene.crs),
         )
-        for date, (merged_img, merged_nodata) in merger:
+        # phase timers (same schema as infer/predict.py timings.json; this
+        # engine fetches synchronously per chunk, so dispatch_s includes the
+        # device sync and fetch_s stays 0)
+        timers = {"mosaic": 0.0, "dispatch": 0.0, "fetch": 0.0, "paste": 0.0}
+        n_tiles = 0
+        t_setup = time.perf_counter()
+        merger_it = iter(merger)
+        while True:
+            t0 = time.perf_counter()
+            nxt = next(merger_it, None)
+            timers["mosaic"] += time.perf_counter() - t0
+            if nxt is None:
+                break
+            date, (merged_img, merged_nodata) = nxt
             output = np.zeros(scene.out_shape, np.uint8)
 
             queries, metas = [], []
@@ -147,11 +163,15 @@ def run_legacy(conf: LegacyConfig) -> Path:
             if not queries:
                 continue
             b = max(1, conf.batch_size)
+            n_tiles += len(queries)
             for start in range(0, len(queries), b):
                 chunk = queries[start : start + b]
                 pad = b - len(chunk)
                 batch_q = np.stack(chunk + [chunk[-1]] * pad)
+                t0 = time.perf_counter()
                 preds = np.asarray(batched(params, jnp.asarray(batch_q))[: len(chunk)]).astype(np.int32)
+                timers["dispatch"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
                 for (crop, cn), pred in zip(metas[start : start + b], preds):
                     pred = pred.astype(np.uint8)
                     pred[cn.astype(bool)] = 0
@@ -161,6 +181,7 @@ def run_legacy(conf: LegacyConfig) -> Path:
                         output, inner, ymin + buffer_px, ymax - buffer_px,
                         xmin + buffer_px, xmax - buffer_px, logic="ascending",
                     )
+                timers["paste"] += time.perf_counter() - t0
 
             # per-class 1-bit GeoTIFF + shoreline shapefile (ref :199-222)
             for idx, cls in enumerate(conf.classes):
@@ -179,4 +200,19 @@ def run_legacy(conf: LegacyConfig) -> Path:
                         out_dir / f"{name}_{date}.shp", scene.crs,
                     )
             logger.info("date %s done", date)
+        t_stream = time.perf_counter()
+
+    # phase timings for benchmarking/observability (read by scripts/bench_e2e.py)
+    stream_s = t_stream - t_setup
+    (out_dir / "timings.json").write_text(json.dumps({
+        "setup_s": round(t_setup - t_start, 3),
+        "stream_s": round(stream_s, 3),
+        "mosaic_wait_s": round(timers["mosaic"], 3),
+        "dispatch_s": round(timers["dispatch"], 3),
+        "fetch_s": round(timers["fetch"], 3),
+        "paste_s": round(timers["paste"], 3),
+        "tiles": n_tiles,
+        "stream_tiles_per_sec": round(n_tiles / stream_s, 3) if stream_s > 0 else None,
+    }))
+    logger.info("done: %d tiles in %.2fs streaming", n_tiles, stream_s)
     return out_dir

@@ -15,7 +15,9 @@ computes Q ensembles at once, and the query axis shards over the mesh.
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
+import time
 from pathlib import Path
 
 import jax
@@ -86,6 +88,7 @@ def zero_shot_model(conf: PredConfig) -> tuple[SegGPT, SegGPTConfig]:
 
 
 def run_zero_shot(conf: PredConfig) -> Path:
+    t_start = time.perf_counter()
     root = Path(conf.prediction_root or conf.model_training_root)
     predict_dir = allocate_run_dir(root, conf.project, "predict_no_prompt", jax.process_index())
     setup_logger(predict_dir)
@@ -176,6 +179,10 @@ def run_zero_shot(conf: PredConfig) -> Path:
             to_run,
             lambda paths: merge_tifs(paths, scene.out_shape, scene.out_transform, scene.crs),
         )
+        # phase timers (same schema as infer/predict.py timings.json)
+        timers = {"mosaic": 0.0, "dispatch": 0.0, "fetch": 0.0, "paste": 0.0}
+        n_tiles = 0
+
         def drain(sealed) -> None:
             """Fetch a sealed date's ids and paste/export its outputs.
 
@@ -188,7 +195,10 @@ def run_zero_shot(conf: PredConfig) -> Path:
                 scene.out_shape, predict_dir, scene.out_transform, scene.crs,
                 conf.classes, export_lines=True,
             ) as acc:
+                t0 = time.perf_counter()
                 preds = np.asarray(dcat).astype(np.int32)
+                timers["fetch"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
                 for crop_idx, pred in zip(done, preds):
                     _, crop_nodata, _ = crop_tif(
                         crops[crop_idx], merged_img, merged_nodata, None, crop_size
@@ -200,9 +210,18 @@ def run_zero_shot(conf: PredConfig) -> Path:
                         date, crops[crop_idx], one_hot,
                         date_img=merged_img, date_nodata=merged_nodata,
                     )
+            timers["paste"] += time.perf_counter() - t0
 
+        t_setup = time.perf_counter()
         sealed_prev = None
-        for date, (merged_img, merged_nodata) in merger:
+        merger_it = iter(merger)
+        while True:
+            t0 = time.perf_counter()
+            nxt = next(merger_it, None)
+            timers["mosaic"] += time.perf_counter() - t0
+            if nxt is None:
+                break
+            date, (merged_img, merged_nodata) = nxt
             merged_img = merged_img.copy()
             merged_img[merged_nodata, 1] = 255
             pending: list[tuple[int, np.ndarray, np.ndarray]] = []
@@ -213,9 +232,12 @@ def run_zero_shot(conf: PredConfig) -> Path:
                 """Async device dispatch of one padded ensemble batch —
                 no host fetch here (fetches carry seconds of fixed
                 latency; the date's results download in ONE fetch)."""
+                nonlocal n_tiles
                 if not pending:
                     return
+                t0 = time.perf_counter()
                 n = len(pending)
+                n_tiles += n
                 queries = np.stack([p[1] for p in pending])
                 sel = np.stack([p[2] for p in pending])  # (n, P)
                 # pad to the batch size so jit sees one shape
@@ -234,6 +256,7 @@ def run_zero_shot(conf: PredConfig) -> Path:
                 )[:n])
                 done.extend(p[0] for p in pending)
                 pending.clear()
+                timers["dispatch"] += time.perf_counter() - t0
 
             for crop_idx, crop in enumerate(crops):
                 crop_img, crop_nodata, _ = crop_tif(crop, merged_img, merged_nodata, None, crop_size)
@@ -264,5 +287,20 @@ def run_zero_shot(conf: PredConfig) -> Path:
             sealed_prev = sealed
         if sealed_prev is not None:
             drain(sealed_prev)
-    logger.info("done")
+        t_stream = time.perf_counter()
+
+    # phase timings for benchmarking/observability (read by scripts/bench_e2e.py;
+    # same schema as infer/predict.py)
+    stream_s = t_stream - t_setup
+    (predict_dir / "timings.json").write_text(json.dumps({
+        "setup_s": round(t_setup - t_start, 3),
+        "stream_s": round(stream_s, 3),
+        "mosaic_wait_s": round(timers["mosaic"], 3),
+        "dispatch_s": round(timers["dispatch"], 3),
+        "fetch_s": round(timers["fetch"], 3),
+        "paste_s": round(timers["paste"], 3),
+        "tiles": n_tiles,
+        "stream_tiles_per_sec": round(n_tiles / stream_s, 3) if stream_s > 0 else None,
+    }))
+    logger.info("done: %d tiles in %.2fs streaming", n_tiles, stream_s)
     return predict_dir

@@ -67,3 +67,18 @@ def tiny_config(**overrides) -> SegGPTConfig:
     )
     base.update(overrides)
     return SegGPTConfig(**base)
+
+
+def huge_config(**overrides) -> SegGPTConfig:
+    """ViT-H-class scale-up (BeachSegConfig.backbone="huge", BASELINE.json
+    config #5's "larger backbone" on 8-band SuperDove). Single source of
+    truth for the preset — train/loop.py, bench.py and the AOT topology
+    check all consume it."""
+    base = dict(
+        hidden_size=1280,
+        num_hidden_layers=32,
+        num_attention_heads=16,
+        intermediate_hidden_state_indices=(7, 15, 23, 31),
+    )
+    base.update(overrides)
+    return SegGPTConfig(**base)

@@ -129,8 +129,9 @@ class Attention(nn.Module):
     impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, ln_params=None, ln_eps: float = 1e-6) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ln_params=None) -> jnp.ndarray:
         cfg = self.config
+        ln_eps = cfg.layer_norm_eps  # single source of truth (ADVICE r3)
         b, gh, gw, c = x.shape
         nh, hd = cfg.num_attention_heads, cfg.head_dim
         s = gh * gw
@@ -263,8 +264,9 @@ class Mlp(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, ln_params=None, ln_eps: float = 1e-6) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ln_params=None) -> jnp.ndarray:
         cfg = self.config
+        ln_eps = cfg.layer_norm_eps  # single source of truth (ADVICE r3)
         k1 = self.param("lin1_kernel", _trunc_normal(cfg.initializer_range), (cfg.hidden_size, cfg.mlp_dim), jnp.float32)
         b1 = self.param("lin1_bias", nn.initializers.zeros, (cfg.mlp_dim,), jnp.float32)
         k2 = self.param("lin2_kernel", _trunc_normal(cfg.initializer_range), (cfg.mlp_dim, cfg.hidden_size), jnp.float32)
@@ -352,7 +354,7 @@ class Block(nn.Module):
             # opt-in: defer ln1 into the attention module so it can fuse into
             # the qkv projection kernel (mirrors the fused LN+MLP hand-off
             # below); headline A/B decides whether this becomes the default
-            attn_out = attn(x, ln_params=ln_before(return_params=True), ln_eps=cfg.layer_norm_eps)
+            attn_out = attn(x, ln_params=ln_before(return_params=True))
         else:
             attn_out = attn(ln_before(x))
 
@@ -396,7 +398,7 @@ class Block(nn.Module):
         ln_after = LayerNorm(cfg.hidden_size, cfg.layer_norm_eps, name="layernorm_after")
         mlp = Mlp(cfg, self.dtype, self.precision, name="mlp")
         if self.dtype == jnp.bfloat16:
-            mlp_out = mlp(x, ln_params=ln_after(return_params=True), ln_eps=cfg.layer_norm_eps)
+            mlp_out = mlp(x, ln_params=ln_after(return_params=True))
         else:
             mlp_out = mlp(ln_after(x))
         return x + _drop_path(mlp_out, self.drop_path_rate, deterministic, rng2)

@@ -390,6 +390,7 @@ def _kernel_qkv_rel(
     q_ref, k_ref, v_ref, bias_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref,
     *, scale: float, hd: int, gw: int, exp2: bool = False, softmax: str = "stable",
     pack_rw: bool = False, interleave: bool = False, fused_sum: bool = False,
+    joint_rel: bool = False,
 ):
     """_kernel_qkv with the rel-pos TERMS produced inside the kernel.
 
@@ -432,19 +433,51 @@ def _kernel_qkv_rel(
     bq = qb2.shape[0]
     yb = bq // gw
 
+    rel_cache = {}
+    if joint_rel:
+        # produce BOTH halves' rel terms in two batched dots instead of four:
+        # the tables are shared across heads, so concatenating the halves'
+        # q rows along the dots' M dim (gw → 2·gw rows per y batch for rel_h,
+        # yb → 2·yb rows per x batch for rel_w) halves the dispatch count and
+        # doubles the M utilization of each small dot. ``rw_tab`` arrives
+        # DOUBLED to (2·gw, 64, hd) so the (half, x) combined dim batches
+        # against it directly — zero input transposes (the non-joint path
+        # pays one per half). Bit-identical per-element math.
+        q6 = jnp.concatenate(
+            [qb2[:, :hd].reshape(yb, gw, hd), qb2[:, hd:].reshape(yb, gw, hd)], axis=1
+        )  # (yb, 2·gw, hd) — half 0's x rows then half 1's, per y group
+        rel_h2 = jax.lax.dot_general(
+            q6, rh_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (yb, 2·gw, 64)
+        rw2 = jax.lax.dot_general(
+            q6, rw_tab, (((2,), (2,)), ((1,), (0,))), preferred_element_type=jnp.float32
+        )  # (2·gw, yb, 64) — batch dim (half, x) leads the output
+        for j in (0, 1):
+            rhb = rel_h2[:, j * gw : (j + 1) * gw].reshape(bq, 64).astype(qb2.dtype)
+            rwb = (
+                rw2[j * gw : (j + 1) * gw]
+                .transpose(1, 0, 2)
+                .reshape(bq, 64)
+                .astype(qb2.dtype)
+            )
+            rel_cache[j] = (rhb, rwb)
+
     def _scores(j):
         qb = qb2[:, j * hd : (j + 1) * hd]
         kb = kb2[:, j * hd : (j + 1) * hd]
-        q3 = qb.reshape(yb, gw, hd)
-        rel_h = jax.lax.dot_general(
-            q3, rh_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (yb, gw, 64)
-        rhb = rel_h.reshape(bq, 64).astype(qb.dtype)
-        q3t = q3.transpose(1, 0, 2)  # (gw, yb, hd)
-        rw3 = jax.lax.dot_general(
-            q3t, rw_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (gw, yb, 64)
-        rwb = rw3.transpose(1, 0, 2).reshape(bq, 64).astype(qb.dtype)
+        if joint_rel:
+            rhb, rwb = rel_cache[j]
+        else:
+            q3 = qb.reshape(yb, gw, hd)
+            rel_h = jax.lax.dot_general(
+                q3, rh_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )  # (yb, gw, 64)
+            rhb = rel_h.reshape(bq, 64).astype(qb.dtype)
+            q3t = q3.transpose(1, 0, 2)  # (gw, yb, hd)
+            rw3 = jax.lax.dot_general(
+                q3t, rw_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            )  # (gw, yb, 64)
+            rwb = rw3.transpose(1, 0, 2).reshape(bq, 64).astype(qb.dtype)
         if pack_rw:
             qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb, rwb], axis=-1)
             kh = jnp.concatenate([kb, eh, ew], axis=-1)
@@ -554,6 +587,7 @@ def _pallas_attention_qkv_rel(
     qkv_bias: jnp.ndarray | None = None,
     interleave: bool = False,
     fused_sum: bool = False,
+    joint_rel: bool = False,
 ) -> jnp.ndarray:
     """qkv: (B, S, 3C); rh_tab: (Gh, 64, hd) / rw_tab: (Gw, 64, hd) — the
     get_rel_pos-interpolated tables zero-padded to 64 key slots; qkv_bias:
@@ -592,9 +626,14 @@ def _pallas_attention_qkv_rel(
         scale = scale * _LOG2E
         rh_tab = rh_tab * _LOG2E
         rw_tab = rw_tab * _LOG2E
+    if joint_rel:
+        # the kernel batches the (half, x) combined dim of its joint q rows
+        # against the width table, so the (jit-constant) table is doubled
+        rw_tab = jnp.concatenate([rw_tab, rw_tab], axis=0)  # (2·Gw, 64, hd)
     kernel = functools.partial(
         _kernel_qkv_rel, scale=scale, hd=hd, gw=gw, exp2=exp2, softmax=softmax,
         pack_rw=pack_rw, interleave=interleave, fused_sum=fused_sum,
+        joint_rel=joint_rel,
     )
     ew_spec = (
         pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM)
@@ -610,7 +649,11 @@ def _pallas_attention_qkv_rel(
             pl.BlockSpec((1, s, 128), lambda g, h, i: (g, 0, 2 * qblk + h), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda g, h, i: (0, h), memory_space=pltpu.VMEM),
             pl.BlockSpec((yb, 64, hd), lambda g, h, i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gw, 64, hd), lambda g, h, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                ((2 * gw if joint_rel else gw), 64, hd),
+                lambda g, h, i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM),
             ew_spec,
         ],
@@ -686,6 +729,10 @@ def fused_attention_qkv_rel(qkv4, qkv_bias, rh_tab, rw_tab, scale: float, gw: in
     # (removes the explicit (BQ, S) reduce — see _kernel_qkv_rel._pv);
     # opt-in until a headline A/B on hardware records a win
     fused_sum = env_flag("BEACH_SEG_TPU_ATTN_FUSED_SUM")
+    # joint-halves rel-term production: 2 batched dots per block instead of 4,
+    # each at double M, zero input transposes (see _kernel_qkv_rel);
+    # opt-in until a headline A/B on hardware records a win
+    joint_rel = env_flag("BEACH_SEG_TPU_ATTN_JOINT_REL")
 
     def fn(qkv4_loc, bias_loc, rh, rw):
         bl, sl, _, cl = qkv4_loc.shape
@@ -694,6 +741,7 @@ def fused_attention_qkv_rel(qkv4, qkv_bias, rh_tab, rw_tab, scale: float, gw: in
             qkv4_loc.reshape(bl, sl, 3 * cl), rh, rw, scale, nh_loc,
             interpret=interpret, exp2=exp2, softmax=softmax, pack_rw=pack_rw,
             qkv_bias=bias_loc, interleave=interleave, fused_sum=fused_sum,
+            joint_rel=joint_rel,
         )
 
     if mp > 1 and num_heads % mp == 0 and (num_heads // mp) % 2 == 0:

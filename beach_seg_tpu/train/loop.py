@@ -68,13 +68,9 @@ def model_for_config(conf: BeachSegConfig) -> tuple[SegGPT, SegGPTConfig]:
     elif conf.backbone == "huge":
         # ViT-H-class backbone for the SuperDove configuration
         # (BASELINE.json config #5); TP-shard via mesh_model > 1
-        cfg = SegGPTConfig(
-            hidden_size=1280,
-            num_hidden_layers=32,
-            num_attention_heads=16,
-            image_size=(2 * conf.inpt_size, conf.inpt_size),
-            intermediate_hidden_state_indices=(7, 15, 23, 31),
-        )
+        from beach_seg_tpu.models.seggpt.config import huge_config
+
+        cfg = huge_config(image_size=(2 * conf.inpt_size, conf.inpt_size))
     else:
         cfg = SegGPTConfig(image_size=(2 * conf.inpt_size, conf.inpt_size))
     return SegGPT(cfg, dtype=dtype, remat=conf.remat), cfg

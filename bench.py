@@ -14,28 +14,34 @@ forward per 448×448 tile, stored in BASELINE_MEASURED.json.
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from beach_seg_tpu.models.seggpt.config import SegGPTConfig
-from beach_seg_tpu.models.seggpt.model import SegGPT
-from beach_seg_tpu.transforms import build_palette, decode_by_palette, normalize_palette
-from beach_seg_tpu.utils.profiling import enable_compilation_cache
-
-enable_compilation_cache()
-
-import os
 
 BATCH = int(os.environ.get("BEACH_SEG_TPU_BENCH_BATCH", "32"))
 ITERS = int(os.environ.get("BEACH_SEG_TPU_BENCH_ITERS", "8"))
 
 
 def main() -> None:
-    cfg = SegGPTConfig()
+    # heavy imports live here so the retry supervisor below never touches
+    # jax or the TPU client in the parent process
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from beach_seg_tpu.models.seggpt.config import SegGPTConfig
+    from beach_seg_tpu.models.seggpt.model import SegGPT
+    from beach_seg_tpu.transforms import build_palette, decode_by_palette, normalize_palette
+    from beach_seg_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if os.environ.get("BEACH_SEG_TPU_BENCH_BACKBONE", "large") == "huge":
+        from beach_seg_tpu.models.seggpt.config import huge_config
+
+        cfg = huge_config()  # BASELINE config #5 scale-up preset
+    else:
+        cfg = SegGPTConfig()
     model = SegGPT(cfg, dtype=jnp.bfloat16)
     h, w = cfg.image_size[0] // 2, cfg.image_size[1]
 
@@ -113,5 +119,65 @@ def main() -> None:
     )
 
 
+def supervise() -> int:
+    """Run the measurement in fresh subprocesses with bounded retries.
+
+    A single transient ``INTERNAL: TPU backend error`` through the tunnel
+    zeroed the round-3 scored artifact (BENCH_r03.json rc=1, parsed null).
+    Each attempt gets a fresh interpreter (a wedged TPU client does not
+    survive into the retry) and a hard timeout; on final failure a
+    structured ``{"error": ...}`` JSON line is still printed so the driver
+    artifact is parseable either way.
+    """
+    import subprocess
+    import sys
+
+    attempts = int(os.environ.get("BEACH_SEG_TPU_BENCH_ATTEMPTS", "3"))
+    per_attempt = float(os.environ.get("BEACH_SEG_TPU_BENCH_TIMEOUT", "900"))
+    env = dict(os.environ, BEACH_SEG_TPU_BENCH_CHILD="1")
+    last_err = ""
+    for i in range(attempts):
+        if i:
+            time.sleep(10 * i)  # short backoff: transient backend errors clear in seconds
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__], env=env, cwd=str(Path(__file__).parent),
+                capture_output=True, text=True, timeout=per_attempt,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {i + 1}: timed out after {per_attempt:.0f}s"
+            print(last_err, file=sys.stderr, flush=True)
+            continue
+        # the child prints exactly one JSON result line; find it from the tail
+        for line in reversed(proc.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                try:
+                    json.loads(line)
+                except ValueError:
+                    break
+                print(line, flush=True)
+                return 0
+        tail = (proc.stderr or proc.stdout).strip().splitlines()
+        last_err = f"attempt {i + 1} (rc={proc.returncode}): " + " | ".join(tail[-3:])[:500]
+        print(last_err, file=sys.stderr, flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "tiles_per_sec_per_chip",
+                "value": None,
+                "unit": "tiles/s",
+                "vs_baseline": None,
+                "error": last_err or "all attempts failed",
+            }
+        ),
+        flush=True,
+    )
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BEACH_SEG_TPU_BENCH_CHILD"):
+        main()
+    else:
+        raise SystemExit(supervise())

@@ -83,6 +83,12 @@ def main() -> None:
     ap.add_argument("--width-crops", type=int, default=40)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--merge", default="vote", choices=["vote", "blend"])
+    ap.add_argument(
+        "--engine", default="predict", choices=["predict", "zero_shot", "legacy"],
+        help="predict = prompt-tuned (src/predict.py parity); zero_shot = "
+        "ensemble (src/predict_no_prompt.py, BASELINE config #1); legacy = "
+        "50%%-overlap semantic ensemble (src/old/beach_seg.py)",
+    )
     ap.add_argument("--keep", action="store_true", help="keep output dirs")
     ap.add_argument("--debug", action="store_true", help="tiny model + small scene (CPU smoke)")
     args = ap.parse_args()
@@ -91,54 +97,70 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
-    from beach_seg_tpu.config import PredictionConfig
+    from beach_seg_tpu.config import LegacyConfig, PredConfig, PredictionConfig
+    from beach_seg_tpu.infer.legacy import run_legacy
     from beach_seg_tpu.infer.predict import run_predict
+    from beach_seg_tpu.infer.zero_shot import run_zero_shot
 
     tmp = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
     try:
         crop = 32 if args.debug else 112
         scene_dir = build_big_scene(tmp / "scene", args.width_crops, args.dates, crop_size=crop)
-        conf = PredictionConfig(
+        common = dict(
             data=scene_dir,
             model_training_root=tmp / "out",
             prediction_root=tmp / "out",
             checkpoint="random",
             batch_size=args.batch,
             compute_dtype="bfloat16",
-            merge=args.merge,
             debug=args.debug,
             crop_size=crop,
             inpt_size=64 if args.debug else 448,
             mesh_data=-1,
             mesh_model=1,
         )
+        if args.engine == "predict":
+            conf = PredictionConfig(merge=args.merge, **common)
+            run = run_predict
+        elif args.engine == "zero_shot":
+            conf = PredConfig(zero_shot_crop_size=crop, **common)
+            run = run_zero_shot
+        else:
+            conf = LegacyConfig(**common)
+            run = run_legacy
 
         t0 = time.perf_counter()
-        out1 = run_predict(conf)
+        out1 = run(conf)
         cold = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        out2 = run_predict(conf)
+        out2 = run(conf)
         warm = time.perf_counter() - t0
 
-        written = list((out2 / "tif").glob("*.tif"))
-        assert len(written) == args.dates, f"expected {args.dates} GeoTIFFs, got {len(written)}"
+        n_expect = args.dates if not args.debug else min(args.dates, 2 if args.engine == "zero_shot" else 1)
+        if args.engine == "predict":
+            written = list((out2 / "tif").glob("*.tif"))
+        elif args.engine == "zero_shot":
+            written = list(out2.glob("tif/*.tif")) or list(out2.glob("*mask*.tif"))
+        else:
+            written = list(out2.glob("WetDryLine_*.tif"))
+        assert len(written) >= n_expect, f"expected >={n_expect} GeoTIFFs, got {len(written)}"
         timings = json.loads((out2 / "timings.json").read_text())
         n_tiles = timings["tiles"]
 
         print(json.dumps({
-            "metric": "e2e_scene_wallclock_cold", "value": round(cold, 2), "unit": "s",
-            "tiles": n_tiles,
+            "metric": f"e2e_{args.engine}_scene_wallclock_cold", "value": round(cold, 2),
+            "unit": "s", "tiles": n_tiles,
         }))
         print(json.dumps({
-            "metric": "e2e_scene_wallclock_warm", "value": round(warm, 2), "unit": "s",
-            "tiles": n_tiles, "wallclock_tiles_per_sec": round(n_tiles / warm, 3),
+            "metric": f"e2e_{args.engine}_scene_wallclock_warm", "value": round(warm, 2),
+            "unit": "s", "tiles": n_tiles, "wallclock_tiles_per_sec": round(n_tiles / warm, 3),
             "setup_s": timings["setup_s"],
         }))
         print(json.dumps({
-            "metric": "e2e_tiles_per_sec", "value": timings["stream_tiles_per_sec"],
+            "metric": f"e2e_{args.engine}_tiles_per_sec", "value": timings["stream_tiles_per_sec"],
             "unit": "tiles/s", "tiles": n_tiles,
-            "batch": args.batch, "merge": args.merge, **{
+            "batch": args.batch, **({"merge": args.merge} if args.engine == "predict" else {}), **{
                 k: timings[k]
                 for k in ("stream_s", "mosaic_wait_s", "dispatch_s", "fetch_s", "paste_s")
                 if k in timings

@@ -94,10 +94,19 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--full", action="store_true", help="full 24-layer depth for every program")
     ap.add_argument(
+        "--huge", action="store_true",
+        help="ViT-H-class backbone (train/loop.py `huge` preset, BASELINE "
+        "config #5) — compiles `forward` and `train_step` TP-sharded over "
+        "the model axis; the other programs are ViT-L engines and are "
+        "skipped unless named via --only",
+    )
+    ap.add_argument(
         "--only", default=None,
         help="comma-separated subset of program names to compile",
     )
     args = ap.parse_args()
+    if args.huge and not args.only:
+        args.only = "forward,train_step"
 
     import jax
     import jax.numpy as jnp
@@ -116,15 +125,17 @@ def main() -> int:
     import os
     import threading
 
+    init_deadline = float(os.environ.get("BEACH_SEG_TPU_AOT_INIT_DEADLINE", "300"))
+
     def _init_watchdog():
         print(
             f"SKIP: cannot build topology {args.topology}: PJRT/topology init "
-            "exceeded 300s (compile service down or hung)",
+            f"exceeded {init_deadline:.0f}s (compile service down or hung)",
             flush=True,
         )
         os._exit(0)
 
-    watchdog = threading.Timer(300, _init_watchdog)
+    watchdog = threading.Timer(init_deadline, _init_watchdog)
     watchdog.daemon = True
     watchdog.start()
     try:
@@ -164,8 +175,13 @@ def main() -> int:
         return jax.tree.map(lambda _: rep, pa)
 
     B = args.batch
-    cfg_full = SegGPTConfig()
-    if args.full:
+    if args.huge:
+        from beach_seg_tpu.models.seggpt.config import huge_config
+
+        cfg_full = huge_config()  # hidden 1280 / 32 layers / 16 heads
+    else:
+        cfg_full = SegGPTConfig()
+    if args.full or args.huge:
         cfg_small = cfg_full
     else:
         cfg_small = SegGPTConfig(
@@ -332,6 +348,8 @@ def main() -> int:
     done_count = [0]
     rc_holder = [0]  # accumulated failure state, visible to the watchdog
 
+    run_deadline = float(os.environ.get("BEACH_SEG_TPU_AOT_RUN_DEADLINE", "1200"))
+
     def _run_watchdog():
         if rc_holder[0]:
             # a genuine COMPILE FAILED was already recorded — the deadline
@@ -344,12 +362,12 @@ def main() -> int:
             os._exit(rc_holder[0])
         print(
             f"SKIP: compile service unresponsive/slow — {done_count[0]}/"
-            f"{len(programs)} programs compiled before the 1200s deadline",
+            f"{len(programs)} programs compiled before the {run_deadline:.0f}s deadline",
             flush=True,
         )
         os._exit(0)
 
-    run_watchdog = threading.Timer(1200, _run_watchdog)
+    run_watchdog = threading.Timer(run_deadline, _run_watchdog)
     run_watchdog.daemon = True
     run_watchdog.start()
 

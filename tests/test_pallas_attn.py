@@ -329,3 +329,21 @@ def test_qkv_rel_fused_sum_env_knob(qkv_inputs, monkeypatch):
     rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
     got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
+
+
+def test_qkv_rel_joint_rel_env_knob(qkv_inputs, monkeypatch):
+    """BEACH_SEG_TPU_ATTN_JOINT_REL (joint-halves rel-term production) keeps
+    parity through the public entry point — the joint batched dots are the
+    same per-element contractions, only packed at doubled M."""
+    from beach_seg_tpu.ops.attention import rel_tables_padded
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    s = gh * gw
+    c = nh * hd
+    zb = jnp.zeros((3, c), jnp.float32)
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_JOINT_REL", "1")
+    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
+    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
+    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
