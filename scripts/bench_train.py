@@ -45,6 +45,12 @@ def main() -> None:
     from beach_seg_tpu.config import BeachSegConfig
     from beach_seg_tpu.data.dataset import create_scene
     from beach_seg_tpu.train.loop import run_training
+    from beach_seg_tpu.utils.profiling import enable_compilation_cache
+
+    # the fused train step is the LONGEST compile in the repo and the remote
+    # compile service drops transport mid-way on bad days — arm the persistent
+    # cache so a retry resumes from whatever compiled before the drop
+    enable_compilation_cache()
 
     tmp = Path(tempfile.mkdtemp(prefix="bench_train_"))
     try:
