@@ -390,7 +390,7 @@ def _kernel_qkv_rel(
     q_ref, k_ref, v_ref, bias_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref,
     *, scale: float, hd: int, gw: int, exp2: bool = False, softmax: str = "stable",
     pack_rw: bool = False, interleave: bool = False, fused_sum: bool = False,
-    joint_rel: bool = False,
+    joint_rel: bool = False, ksplit: int = 1,
 ):
     """_kernel_qkv with the rel-pos TERMS produced inside the kernel.
 
@@ -462,22 +462,77 @@ def _kernel_qkv_rel(
             )
             rel_cache[j] = (rhb, rwb)
 
+    def _rel_terms(j, qb):
+        if joint_rel:
+            return rel_cache[j]
+        q3 = qb.reshape(yb, gw, hd)
+        rel_h = jax.lax.dot_general(
+            q3, rh_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (yb, gw, 64)
+        rhb = rel_h.reshape(bq, 64).astype(qb.dtype)
+        q3t = q3.transpose(1, 0, 2)  # (gw, yb, hd)
+        rw3 = jax.lax.dot_general(
+            q3t, rw_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (gw, yb, 64)
+        rwb = rw3.transpose(1, 0, 2).reshape(bq, 64).astype(qb.dtype)
+        return rhb, rwb
+
+    if ksplit > 1:
+        # K-BLOCKED SINGLE-PASS schedule (structural variant, opt-in via
+        # BEACH_SEG_TPU_ATTN_KSPLIT): the monolithic schedule computes the
+        # full (BQ, S) score tile (MXU), then one serialized softmax sweep
+        # (VPU), then the PV matmul (MXU) — the VPU sweep sits on the MXU's
+        # critical path. Splitting the key axis into ``ksplit`` blocks turns
+        # each half into independent per-block chains
+        #     scoresₜ (MXU) → expₜ (VPU) → pvₜ (MXU, accumulated)
+        # where scoresₜ₊₁ has no dependency on expₜ, giving Mosaic's
+        # scheduler block-granular MXU/VPU overlap. Requires a max-free
+        # softmax (clamp/fast): with no row-max there is no cross-block
+        # rescale, so the per-element math is IDENTICAL to the monolithic
+        # kernel — only the row-sum/PV accumulation order changes (f32
+        # accumulators, ≤ksplit partial sums). ``ew`` arrives pre-split as
+        # (ksplit·64, S/ksplit) sublane-stacked blocks: lane-slicing the
+        # (64, S) form at non-128-multiple offsets would force relayouts.
+        assert softmax in ("clamp", "fast"), softmax
+        s_all = kb2.shape[0]
+        kb_sz = s_all // ksplit
+        texp = jnp.exp2 if exp2 else jnp.exp
+        clamp_hi = 80.0 * (_LOG2E if exp2 else 1.0)
+        halves = []
+        for j in (0, 1):
+            qb = qb2[:, j * hd : (j + 1) * hd]
+            kb = kb2[:, j * hd : (j + 1) * hd]
+            vb = vb2[:, j * hd : (j + 1) * hd]
+            rhb, rwb = _rel_terms(j, qb)
+            qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb], axis=-1)
+            acc = jnp.zeros((bq, hd), jnp.float32)
+            r = jnp.zeros((bq, 1), jnp.float32)
+            for t in range(ksplit):
+                lo = t * kb_sz
+                kh_t = jnp.concatenate(
+                    [kb[lo : lo + kb_sz], eh[lo : lo + kb_sz]], axis=-1
+                )
+                sc = jax.lax.dot_general(
+                    qh, kh_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                sc = sc + jax.lax.dot_general(
+                    rwb, ew[t * 64 : (t + 1) * 64], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                p = texp(jnp.minimum(sc, clamp_hi)) if softmax == "clamp" else texp(sc)
+                r = r + jnp.sum(p, axis=-1, keepdims=True)
+                acc = acc + jax.lax.dot_general(
+                    p.astype(vb.dtype), vb[lo : lo + kb_sz], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            halves.append(acc / (r + 1e-30))
+        out_ref[0] = jnp.concatenate(halves, axis=-1).astype(out_ref.dtype)
+        return
+
     def _scores(j):
         qb = qb2[:, j * hd : (j + 1) * hd]
         kb = kb2[:, j * hd : (j + 1) * hd]
-        if joint_rel:
-            rhb, rwb = rel_cache[j]
-        else:
-            q3 = qb.reshape(yb, gw, hd)
-            rel_h = jax.lax.dot_general(
-                q3, rh_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-            )  # (yb, gw, 64)
-            rhb = rel_h.reshape(bq, 64).astype(qb.dtype)
-            q3t = q3.transpose(1, 0, 2)  # (gw, yb, hd)
-            rw3 = jax.lax.dot_general(
-                q3t, rw_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-            )  # (gw, yb, 64)
-            rwb = rw3.transpose(1, 0, 2).reshape(bq, 64).astype(qb.dtype)
+        rhb, rwb = _rel_terms(j, qb)
         if pack_rw:
             qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb, rwb], axis=-1)
             kh = jnp.concatenate([kb, eh, ew], axis=-1)
@@ -588,6 +643,7 @@ def _pallas_attention_qkv_rel(
     interleave: bool = False,
     fused_sum: bool = False,
     joint_rel: bool = False,
+    ksplit: int = 1,
 ) -> jnp.ndarray:
     """qkv: (B, S, 3C); rh_tab: (Gh, 64, hd) / rw_tab: (Gw, 64, hd) — the
     get_rel_pos-interpolated tables zero-padded to 64 key slots; qkv_bias:
@@ -608,12 +664,28 @@ def _pallas_attention_qkv_rel(
     hp = num_heads // 2
     qblk = c // 128
     grid = (b, hp, s // bq)
+    if ksplit > 1 and (
+        softmax not in ("clamp", "fast")
+        or pack_rw
+        or fused_sum
+        or interleave
+        or s % ksplit
+        or (s // ksplit) % 8
+    ):
+        ksplit = 1  # blocked schedule needs a max-free softmax + clean blocks
     ks = jnp.arange(s)
     eh = (ks[:, None] // gw == jnp.arange(64)[None, :]).astype(qkv.dtype)  # (S, 64)
     if pack_rw:
         ew = (ks[:, None] % gw == jnp.arange(64)[None, :]).astype(qkv.dtype)  # (S, 64)
     else:
         ew = (jnp.arange(64)[:, None] == ks[None, :] % gw).astype(qkv.dtype)  # (64, S)
+        if ksplit > 1:
+            # sublane-stack the per-block lane slices: block t reads rows
+            # [t·64, (t+1)·64) — jit-constant, so the repack is free
+            kb_sz = s // ksplit
+            ew = jnp.concatenate(
+                [ew[:, t * kb_sz : (t + 1) * kb_sz] for t in range(ksplit)], axis=0
+            )  # (ksplit·64, S/ksplit)
     if qkv_bias is None:
         qkv_bias = jnp.zeros((3, c), qkv.dtype)
     assert qkv_bias.shape == (3, c), qkv_bias.shape
@@ -633,13 +705,16 @@ def _pallas_attention_qkv_rel(
     kernel = functools.partial(
         _kernel_qkv_rel, scale=scale, hd=hd, gw=gw, exp2=exp2, softmax=softmax,
         pack_rw=pack_rw, interleave=interleave, fused_sum=fused_sum,
-        joint_rel=joint_rel,
+        joint_rel=joint_rel, ksplit=ksplit,
     )
-    ew_spec = (
-        pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM)
-        if pack_rw
-        else pl.BlockSpec((64, s), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM)
-    )
+    if pack_rw:
+        ew_spec = pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM)
+    elif ksplit > 1:
+        ew_spec = pl.BlockSpec(
+            (ksplit * 64, s // ksplit), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        ew_spec = pl.BlockSpec((64, s), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -733,6 +808,14 @@ def fused_attention_qkv_rel(qkv4, qkv_bias, rh_tab, rw_tab, scale: float, gw: in
     # each at double M, zero input transposes (see _kernel_qkv_rel);
     # opt-in until a headline A/B on hardware records a win
     joint_rel = env_flag("BEACH_SEG_TPU_ATTN_JOINT_REL")
+    # K-blocked single-pass schedule (structural variant): split the key axis
+    # into N blocks so score-matmul (MXU) and exp (VPU) chains of different
+    # blocks overlap instead of serializing on one full-tile softmax sweep;
+    # needs the max-free clamp/fast softmax (see _kernel_qkv_rel). Opt-in
+    # until a headline A/B on hardware records a win.
+    import os as _os
+
+    ksplit = int(_os.environ.get("BEACH_SEG_TPU_ATTN_KSPLIT", "0") or 0)
 
     def fn(qkv4_loc, bias_loc, rh, rw):
         bl, sl, _, cl = qkv4_loc.shape
@@ -741,7 +824,7 @@ def fused_attention_qkv_rel(qkv4, qkv_bias, rh_tab, rw_tab, scale: float, gw: in
             qkv4_loc.reshape(bl, sl, 3 * cl), rh, rw, scale, nh_loc,
             interpret=interpret, exp2=exp2, softmax=softmax, pack_rw=pack_rw,
             qkv_bias=bias_loc, interleave=interleave, fused_sum=fused_sum,
-            joint_rel=joint_rel,
+            joint_rel=joint_rel, ksplit=ksplit,
         )
 
     if mp > 1 and num_heads % mp == 0 and (num_heads // mp) % 2 == 0:

@@ -94,7 +94,7 @@ def main():
             qkv.reshape(B, S, 3, C), zbias, rh_tab, rw_tab, HD**-0.5, GW, NH
         )
 
-    def rel_in_kernel_variant(exp2, softmax="stable", pack_rw=False, block_q=784, interleave=False, fused_sum=False):
+    def rel_in_kernel_variant(exp2, softmax="stable", pack_rw=False, block_q=784, interleave=False, fused_sum=False, ksplit=1, joint_rel=False):
         from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
 
         def fn(qkv, rph, rpw):
@@ -102,7 +102,7 @@ def main():
             return _pallas_attention_qkv_rel(
                 qkv, rh_tab, rw_tab, HD**-0.5, NH, exp2=exp2, softmax=softmax,
                 pack_rw=pack_rw, block_q=block_q, interleave=interleave,
-                fused_sum=fused_sum,
+                fused_sum=fused_sum, ksplit=ksplit, joint_rel=joint_rel,
             )
 
         return fn
@@ -139,6 +139,16 @@ def main():
         timeit("fsum-sweep fused-sum (clamp)", rel_in_kernel_variant(False, "clamp", fused_sum=True), qkv, (rph, rpw), flops=attn_flops, m=4)
         timeit("fsum-sweep fused-sum (stable)", rel_in_kernel_variant(False, "stable", fused_sum=True), qkv, (rph, rpw), flops=attn_flops, m=4)
         timeit("fsum-sweep fused-sum (fast)", rel_in_kernel_variant(False, "fast", fused_sum=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+    if which in ("all", "ksplit"):
+        timeit("ksplit=1 (clamp, control)", rel_in_kernel_variant(False, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("ksplit=2 (clamp)", rel_in_kernel_variant(False, "clamp", ksplit=2), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("ksplit=4 (clamp)", rel_in_kernel_variant(False, "clamp", ksplit=4), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("ksplit=7 (clamp)", rel_in_kernel_variant(False, "clamp", ksplit=7), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("ksplit=2 bq=S (clamp)", rel_in_kernel_variant(False, "clamp", block_q=S, ksplit=2), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("ksplit=2+joint (clamp)", rel_in_kernel_variant(False, "clamp", ksplit=2, joint_rel=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+    if which in ("all", "jointrel"):
+        timeit("joint_rel off (clamp, control)", rel_in_kernel_variant(False, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("joint_rel on (clamp)", rel_in_kernel_variant(False, "clamp", joint_rel=True), qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "blockq"):
         timeit("rel-in-kernel bq=S (one q-block)", rel_in_kernel_variant(False, "stable", False, S), qkv, (rph, rpw), flops=attn_flops, m=4)
         timeit("rel-in-kernel bq=392", rel_in_kernel_variant(False, "stable", False, 392), qkv, (rph, rpw), flops=attn_flops, m=4)

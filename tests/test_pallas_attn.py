@@ -347,3 +347,42 @@ def test_qkv_rel_joint_rel_env_knob(qkv_inputs, monkeypatch):
     rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
     got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
+
+
+@pytest.mark.parametrize("ksplit", [2, 4])
+def test_qkv_rel_ksplit_env_knob(qkv_inputs, monkeypatch, ksplit):
+    """BEACH_SEG_TPU_ATTN_KSPLIT (K-blocked single-pass schedule) keeps
+    parity through the public entry point under the max-free clamp softmax:
+    the per-element exp math is identical, only the row-sum / PV
+    accumulation order changes (f32 partials)."""
+    from beach_seg_tpu.ops.attention import rel_tables_padded
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    s = gh * gw
+    c = nh * hd
+    zb = jnp.zeros((3, c), jnp.float32)
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_SOFTMAX", "clamp")
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_KSPLIT", str(ksplit))
+    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
+    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
+    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
+
+
+def test_qkv_rel_ksplit_falls_back_with_stable_softmax(qkv_inputs, monkeypatch):
+    """ksplit requires a max-free softmax; with `stable` it must silently
+    fall back to the monolithic schedule and still match the oracle."""
+    from beach_seg_tpu.ops.attention import rel_tables_padded
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    s = gh * gw
+    c = nh * hd
+    zb = jnp.zeros((3, c), jnp.float32)
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_SOFTMAX", "stable")
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_KSPLIT", "2")
+    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
+    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
+    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
