@@ -134,18 +134,34 @@ def supervise() -> int:
 
     attempts = int(os.environ.get("BEACH_SEG_TPU_BENCH_ATTEMPTS", "3"))
     per_attempt = float(os.environ.get("BEACH_SEG_TPU_BENCH_TIMEOUT", "900"))
+    # TOTAL wall-clock budget across all attempts: a HARD-DOWN backend (every
+    # attempt hangs until its per-attempt timeout) must still leave this
+    # process time to print the structured error line itself — an outside
+    # kill produces an unparseable artifact (the MULTICHIP_r03 failure
+    # shape). Default: one full attempt plus a shorter second try.
+    total_budget = float(os.environ.get("BEACH_SEG_TPU_BENCH_BUDGET", "1500"))
+    t_start = time.monotonic()
     env = dict(os.environ, BEACH_SEG_TPU_BENCH_CHILD="1")
     last_err = ""
     for i in range(attempts):
         if i:
             time.sleep(10 * i)  # short backoff: transient backend errors clear in seconds
+        slice_left = total_budget - (time.monotonic() - t_start) - 15.0
+        if slice_left < 60.0:
+            last_err = last_err or "budget exhausted before any attempt"
+            print(
+                f"attempt {i + 1}: skipped — {max(0.0, slice_left):.0f}s of the "
+                f"{total_budget:.0f}s total budget left",
+                file=sys.stderr, flush=True,
+            )
+            break
         try:
             proc = subprocess.run(
                 [sys.executable, __file__], env=env, cwd=str(Path(__file__).parent),
-                capture_output=True, text=True, timeout=per_attempt,
+                capture_output=True, text=True, timeout=min(per_attempt, slice_left),
             )
         except subprocess.TimeoutExpired:
-            last_err = f"attempt {i + 1}: timed out after {per_attempt:.0f}s"
+            last_err = f"attempt {i + 1}: timed out after {min(per_attempt, slice_left):.0f}s"
             print(last_err, file=sys.stderr, flush=True)
             continue
         # the child prints exactly one JSON result line; find it from the tail
