@@ -48,6 +48,16 @@ def prefetch_iterator(it: Iterable, depth: int = 2) -> Iterator:
         yield item
 
 
+def _timed_merge(merge_fn, date: str, paths: list[Path]):
+    import logging
+    import time
+
+    t0 = time.perf_counter()
+    out = merge_fn(paths)
+    logging.getLogger(__name__).info("mosaic %s merged in %.2fs", date, time.perf_counter() - t0)
+    return out
+
+
 class MosaicPrefetcher:
     """Schedules ``merge_tifs`` for upcoming dates on a thread pool.
 
@@ -68,6 +78,7 @@ class MosaicPrefetcher:
         merge_fn: Callable[[list[Path]], Any],
         ahead: int | None = "auto",  # type: ignore[assignment]
         workers: int | None = None,
+        processes: bool | None = None,
     ):
         self.date_paths = date_paths
         self.merge_fn = merge_fn
@@ -76,7 +87,26 @@ class MosaicPrefetcher:
         if ahead == "auto":
             ahead = max(2, workers + 1)
         self.ahead = len(date_paths) if ahead is None else max(1, ahead)
-        self.pool = ThreadPoolExecutor(max_workers=max(1, workers))
+        if processes is None:
+            processes = os.environ.get("BEACH_SEG_TPU_MOSAIC_PROCS", "") not in ("", "0")
+        if processes:
+            # subprocess merges sidestep the GIL: the engine's model
+            # load/upload holds the parent's GIL for long C stretches, and the
+            # measured first-merge cost under that contention is ~8× its
+            # isolated time (BENCHMARKS.md round-3 e2e section). A 'spawn'
+            # context is mandatory — the TPU client's gRPC threads are already
+            # live when the engines construct this, and forking a threaded
+            # process wedges. merge_fn must be picklable on this path (the
+            # engines pass functools.partial over geo.mosaic.merge_tifs).
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            self.pool: Any = ProcessPoolExecutor(
+                max_workers=max(1, workers), mp_context=mp.get_context("spawn")
+            )
+        else:
+            self.pool = ThreadPoolExecutor(max_workers=max(1, workers))
+        self._processes = bool(processes)
         self.futures: dict[str, Future] = {}
         # schedule the first merges at CONSTRUCTION, not first iteration: the
         # engines build the prefetcher before model load/upload/compile, so
@@ -91,16 +121,9 @@ class MosaicPrefetcher:
             return
         date, paths = self.date_paths[idx]
         if date not in self.futures:
-            self.futures[date] = self.pool.submit(self._timed_merge, date, paths)
-
-    def _timed_merge(self, date: str, paths: list[Path]):
-        import logging
-        import time
-
-        t0 = time.perf_counter()
-        out = self.merge_fn(paths)
-        logging.getLogger(__name__).info("mosaic %s merged in %.2fs", date, time.perf_counter() - t0)
-        return out
+            # module-level callable: on the process path the task is pickled,
+            # and `self` (holding the pool) must not ride along
+            self.futures[date] = self.pool.submit(_timed_merge, self.merge_fn, date, paths)
 
     def __iter__(self) -> Iterator[tuple[str, Any]]:
         # the first `ahead` merges were scheduled in the constructor

@@ -123,6 +123,43 @@ class VoteAccumulator:
         if img_crop is not None:
             self.current_img[dy0:dy1, dx0:dx1] = img_crop[sy0:sy1, sx0:sx1]
 
+    def update_ids(
+        self,
+        date: str,
+        crop: tuple[int, int, int, int],
+        id_pred: np.ndarray,
+        img_crop: np.ndarray | None = None,
+        date_img: np.ndarray | None = None,
+        date_nodata: np.ndarray | None = None,
+    ) -> None:
+        """``update`` taking the raw (h, w) class-id crop instead of one-hot.
+
+        Same votes, same clipping — but the vote add runs as ``num_classes``
+        boolean compares on the clipped region instead of materializing a
+        (h, w, C) one-hot gather per crop (the reference's np.eye indexing,
+        predict.py:234 — at B=32×448² that gather allocates ~77 MB per batch
+        and was the paste phase's dominant cost on this host)."""
+        if date != self.current_date:
+            if self.current_date is not None:
+                self.save_current()
+            self._initialize(date, date_img, date_nodata)
+
+        h, w = self.out_shape
+        xmin, ymin, xmax, ymax = crop
+        dy0, dy1 = max(ymin, 0), min(ymax, h)
+        dx0, dx1 = max(xmin, 0), min(xmax, w)
+        sy0, sx0 = dy0 - ymin, dx0 - xmin
+        sy1, sx1 = sy0 + (dy1 - dy0), sx0 + (dx1 - dx0)
+        if sy1 <= sy0 or sx1 <= sx0:
+            logger.warning("Invalid crop! %s", crop)
+            return
+        ids = id_pred[sy0:sy1, sx0:sx1]
+        region = self.current_pred_counter[dy0:dy1, dx0:dx1]
+        for c in range(self.num_classes):
+            region[..., c] += ids == c
+        if img_crop is not None:
+            self.current_img[dy0:dy1, dx0:dx1] = img_crop[sy0:sy1, sx0:sx1]
+
     def save_current(self) -> np.ndarray:
         assert self.current_date is not None
         pred = np.argmax(self.current_pred_counter, axis=2).astype(np.uint8)

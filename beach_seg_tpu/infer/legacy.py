@@ -18,6 +18,7 @@ SURVEY.md quirk #8 — so this implements its *intended* behavior):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import logging
 import time
@@ -135,7 +136,10 @@ def run_legacy(conf: LegacyConfig) -> Path:
 
         merger = MosaicPrefetcher(
             to_run,
-            lambda paths: merge_tifs(paths, scene.out_shape, scene.out_transform, scene.crs),
+            functools.partial(  # picklable for the subprocess-merge path
+                merge_tifs, out_shape=scene.out_shape,
+                out_transform=scene.out_transform, crs=scene.crs,
+            ),
         )
         # phase timers (same schema as infer/predict.py timings.json; this
         # engine fetches synchronously per chunk, so dispatch_s includes the

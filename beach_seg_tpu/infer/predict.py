@@ -11,6 +11,7 @@ host-side into per-date mosaics (overlay/mask/GeoTIFF outputs).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from pathlib import Path
 
@@ -93,6 +94,7 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
         # Hann window, floored so zero-overlap regions still receive votes
         ramp = np.sin(np.pi * (np.arange(conf.crop_size) + 0.5) / conf.crop_size) ** 2
         feather = (np.outer(ramp, ramp) + 1e-3)[..., None].astype(np.float32)
+    feather_dev = None
 
     if pred_conf.train_run_dir is not None:
         name = "prompt_batch_ema.npz" if pred_conf.use_ema else "prompt_batch_tuned.npz"
@@ -115,7 +117,10 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
     groups.pop(train_scene.mask_date, None)
     merger = MosaicPrefetcher(
         sorted(groups.items()),
-        lambda paths: merge_tifs(paths, train_scene.out_shape, train_scene.out_transform, train_scene.crs),
+        functools.partial(  # picklable for the subprocess-merge path
+            merge_tifs, out_shape=train_scene.out_shape,
+            out_transform=train_scene.out_transform, crs=train_scene.crs,
+        ),
     )
 
     model, model_cfg = model_for_config(conf)
@@ -126,6 +131,8 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
 
     with jax.sharding.set_mesh(mesh):
         params = jax.device_put(params, param_sharding(mesh, params))
+        if use_blend:
+            feather_dev = jax.device_put(jnp.asarray(feather), replicated(mesh))
         pixels = jax.device_put(jnp.asarray(pb["image"], jnp.float32), replicated(mesh))
         pmasks = jax.device_put(jnp.asarray(pb["mask"], jnp.int32), replicated(mesh))
         pnodata = jax.device_put(jnp.asarray(pb["nodata"]), replicated(mesh))
@@ -154,22 +161,24 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
                 """
                 img_small = np.asarray(batch["image_u8"], np.uint8)
                 if use_blend:
+                    # feather already multiplied ON DEVICE inside the jitted
+                    # step (predict_step_probs feather arg)
                     votes = np.asarray(result, np.float32)  # (B, crop, crop, C)
-                    one_hot = votes * feather[None]
                 else:
+                    # class IDs paste via acc.update_ids — C boolean compares
+                    # on the clipped region instead of an np.eye one-hot
+                    # gather (~77 MB/batch of allocation at B=32)
                     pred_small = np.asarray(result).astype(np.int32)  # (B, crop, crop)
-                    one_hot = np.eye(len(conf.classes), dtype=np.int32)[pred_small]
-                for i in range(len(one_hot)):
+                for i in range(len(img_small)):
                     if not batch["valid"][i]:
                         continue
                     if batch["nodata"][i].all():  # ref predict.py:235
                         continue
-                    acc.update(
-                        batch["date"][i],
-                        train_scene.crops[int(batch["crop_idx"][i])],
-                        one_hot[i],
-                        img_crop=img_small[i],
-                    )
+                    crop = train_scene.crops[int(batch["crop_idx"][i])]
+                    if use_blend:
+                        acc.update(batch["date"][i], crop, votes[i], img_crop=img_small[i])
+                    else:
+                        acc.update_ids(batch["date"][i], crop, pred_small[i], img_crop=img_small[i])
 
             t_setup = time.perf_counter()
             n_tiles = 0
@@ -221,8 +230,10 @@ def run_predict(pred_conf: PredictionConfig) -> Path:
                     t0 = time.perf_counter()
                     if use_blend:
                         # overlap-blend: feathered soft class probabilities
+                        # (feather window applied on device)
                         result = tuner.predict_step_probs(
-                            pixels, params, pmasks, pnodata, dev_batch, conf.crop_size
+                            pixels, params, pmasks, pnodata, dev_batch, conf.crop_size,
+                            feather_dev,
                         )
                     else:
                         result = tuner.predict_step(

@@ -15,6 +15,7 @@ computes Q ensembles at once, and the query axis shards over the mesh.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import logging
 import time
@@ -177,7 +178,10 @@ def run_zero_shot(conf: PredConfig) -> Path:
         q_batch = max(1, conf.batch_size)
         merger = MosaicPrefetcher(
             to_run,
-            lambda paths: merge_tifs(paths, scene.out_shape, scene.out_transform, scene.crs),
+            functools.partial(  # picklable for the subprocess-merge path
+                merge_tifs, out_shape=scene.out_shape,
+                out_transform=scene.out_transform, crs=scene.crs,
+            ),
         )
         # phase timers (same schema as infer/predict.py timings.json)
         timers = {"mosaic": 0.0, "dispatch": 0.0, "fetch": 0.0, "paste": 0.0}

@@ -441,16 +441,20 @@ def _kernel_qkv_rel(
         # yb → 2·yb rows per x batch for rel_w) halves the dispatch count and
         # doubles the M utilization of each small dot. ``rw_tab`` arrives
         # DOUBLED to (2·gw, 64, hd) so the (half, x) combined dim batches
-        # against it directly — zero input transposes (the non-joint path
-        # pays one per half). Bit-identical per-element math.
+        # against it. The rw dot's LHS batch dim must LEAD (Mosaic's tpu.matmul
+        # rejects mismatched batch-dim positions — "batch dims must be equal",
+        # found on real-TPU compile, invisible in interpret mode), so q6 pays
+        # one explicit transpose like the non-joint path's per-half q3t.
+        # Bit-identical per-element math.
         q6 = jnp.concatenate(
             [qb2[:, :hd].reshape(yb, gw, hd), qb2[:, hd:].reshape(yb, gw, hd)], axis=1
         )  # (yb, 2·gw, hd) — half 0's x rows then half 1's, per y group
         rel_h2 = jax.lax.dot_general(
             q6, rh_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (yb, 2·gw, 64)
+        q6t = q6.transpose(1, 0, 2)  # (2·gw, yb, hd) — batch dim leads both sides
         rw2 = jax.lax.dot_general(
-            q6, rw_tab, (((2,), (2,)), ((1,), (0,))), preferred_element_type=jnp.float32
+            q6t, rw_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (2·gw, yb, 64) — batch dim (half, x) leads the output
         for j in (0, 1):
             rhb = rel_h2[:, j * gw : (j + 1) * gw].reshape(bq, 64).astype(qb2.dtype)

@@ -101,6 +101,32 @@ def main() -> None:
         dt = time.perf_counter() - t0
     tiles_per_sec = BATCH * ITERS / dt
 
+    # FLOPs-accounted MFU (VERDICT r04 item 8). Analytic per-tile model of the
+    # backbone transformer (the decoder/embedding chain is ~3% and excluded —
+    # the number is therefore a slight UNDERcount): per layer, counting one
+    # multiply-accumulate as 2 flops at S tokens, width C, NH heads of hd=64,
+    #   qkv proj     2·S·C·3C
+    #   attention    2·NH·S·(S·(2·hd + 128) + 128·hd)   (score+PV at 128 fused
+    #                lanes/head-pair + in-kernel rel-term dots — matches the
+    #                kernel's own pl.CostEstimate in ops/pallas_attn.py)
+    #   out proj     2·S·C·C
+    #   MLP          16·S·C²
+    # Peak: v5e bf16 = 197 TFLOP/s (override BEACH_SEG_TPU_PEAK_TFLOPS on
+    # other generations).
+    S = (h * 2 // cfg.patch_size) * (w // cfg.patch_size)
+    C = cfg.hidden_size
+    NH = cfg.num_attention_heads
+    hd = C // NH
+    per_layer = (
+        2 * S * C * 3 * C
+        + 2 * NH * S * (S * (2 * hd + 128) + 128 * hd)
+        + 2 * S * C * C
+        + 16 * S * C * C
+    )
+    flops_per_tile = cfg.num_hidden_layers * per_layer
+    peak = float(os.environ.get("BEACH_SEG_TPU_PEAK_TFLOPS", "197")) * 1e12
+    mfu = tiles_per_sec * flops_per_tile / peak
+
     baseline_path = Path(__file__).parent / "BASELINE_MEASURED.json"
     vs = None
     if baseline_path.exists():
@@ -114,6 +140,8 @@ def main() -> None:
                 "value": round(tiles_per_sec, 3),
                 "unit": "tiles/s",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "mfu": round(mfu, 4),
+                "tflops_per_sec": round(tiles_per_sec * flops_per_tile / 1e12, 1),
             }
         )
     )

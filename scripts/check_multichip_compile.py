@@ -371,23 +371,67 @@ def main() -> int:
     run_watchdog.daemon = True
     run_watchdog.start()
 
+    # Fingerprint cache (VERDICT r04 item 6): this environment cannot
+    # deserialize persistently-cached executables ("DeserializeLoadedExecutable
+    # not implemented"), so every pass is a cold ~6 min/program compile and the
+    # dryrun's budget-sliced AOT leg reports 0-1/6 whenever the compile service
+    # is slow. The honest cacheable fact is the LOWERING: if a program lowers
+    # to byte-identical StableHLO under the same jax/jaxlib versions and
+    # topology as a previously recorded successful compile, recompiling it can
+    # only reproduce that result — so the check reports the recorded outcome,
+    # marked "fingerprint-cached", without touching the compile service.
+    # Refresh with BEACH_SEG_TPU_AOT_NO_CACHE=1 (the measurement queue's
+    # full-depth pass does). Lowering runs locally; only cache misses compile.
+    import hashlib
+    import json
+    from datetime import date
+
+    import jaxlib
+
+    no_cache = os.environ.get("BEACH_SEG_TPU_AOT_NO_CACHE", "") not in ("", "0")
+    cache_path = Path(__file__).resolve().parents[1] / "AOT_FINGERPRINTS.json"
+    try:
+        cache = json.loads(cache_path.read_text()) if cache_path.exists() else {}
+    except ValueError:
+        cache = {}
+    salt = f"jax={jax.__version__} jaxlib={jaxlib.__version__} topo={args.topology} full={args.full} huge={args.huge} batch={args.batch}"
+
     rc = 0
     with jax.sharding.set_mesh(mesh):
         for name, build in programs.items():
             try:
                 jitted, prog_args = build()
-                txt = jitted.lower(*prog_args).compile().as_text()
+                lowered = jitted.lower(*prog_args)
+                fp = hashlib.sha256(
+                    (salt + lowered.as_text()).encode()
+                ).hexdigest()
+                ckey = f"{name}|{args.topology}|full={args.full}|huge={args.huge}|B={args.batch}"
+                entry = cache.get(ckey)
+                if entry and entry.get("fingerprint") == fp and not no_cache:
+                    print(
+                        f"{name}: {entry['result']} (fingerprint-cached {entry['when']}; "
+                        "lowering + versions unchanged)",
+                        flush=True,
+                    )
+                    done_count[0] += 1
+                    continue
+                txt = lowered.compile().as_text()
                 colls = Counter(
                     re.findall(
                         r"(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)",
                         txt,
                     )
                 )
-                print(
-                    f"{name}: COMPILE OK | pallas custom-calls={txt.count('tpu_custom_call')} "
-                    f"| collectives={dict(colls)}",
-                    flush=True,
+                result = (
+                    f"COMPILE OK | pallas custom-calls={txt.count('tpu_custom_call')} "
+                    f"| collectives={dict(colls)}"
                 )
+                print(f"{name}: {result}", flush=True)
+                cache[ckey] = {"fingerprint": fp, "result": result, "when": str(date.today())}
+                try:
+                    cache_path.write_text(json.dumps(cache, indent=1, sort_keys=True) + "\n")
+                except OSError:
+                    pass
                 done_count[0] += 1
             except Exception as e:
                 kind = classify(e)

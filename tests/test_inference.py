@@ -48,6 +48,26 @@ def test_vote_accumulator(tmp_path):
     assert pred[9, 0] == 0  # nothing voted
 
 
+def test_update_ids_matches_one_hot_update(tmp_path):
+    """update_ids (class-id fast path, no one-hot materialization) produces
+    bit-identical vote counters to the one-hot `update` path, including
+    out-of-bounds clipping."""
+    rng = np.random.default_rng(7)
+    t = Affine.identity()
+    classes = ("nodata", "sand", "water", "veg")
+    crops = [(0, 0, 6, 6), (4, 4, 10, 10), (-2, 3, 4, 9), (7, 7, 13, 13)]
+    ids = [rng.integers(0, 4, (6, 6)).astype(np.int32) for _ in crops]
+    with VoteAccumulator((10, 10), tmp_path / "a", t, None, classes) as a:
+        for c, idp in zip(crops, ids):
+            a.update("d", c, np.eye(4, dtype=np.int32)[idp])
+        counter_a = a.current_pred_counter.copy()
+    with VoteAccumulator((10, 10), tmp_path / "b", t, None, classes) as b:
+        for c, idp in zip(crops, ids):
+            b.update_ids("d", c, idp)
+        counter_b = b.current_pred_counter.copy()
+    np.testing.assert_array_equal(counter_a, counter_b)
+
+
 def test_vote_accumulator_clips_out_of_bounds(tmp_path):
     t = Affine.identity()
     with VoteAccumulator((5, 5), tmp_path, t, None, ("nodata", "sand", "water", "veg")) as acc:

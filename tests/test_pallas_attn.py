@@ -386,3 +386,25 @@ def test_qkv_rel_ksplit_falls_back_with_stable_softmax(qkv_inputs, monkeypatch):
     rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
     got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
+
+
+def test_qkv_rel_ksplit_joint_rel_combo(qkv_inputs, monkeypatch):
+    """ksplit=2 AND joint_rel together — the combination that failed Mosaic
+    compile on real TPU in round 4 ("batch dims must be equal" at the joint
+    rw dot, ROUND4_RESULTS.log). Interpret mode can only pin the VALUES; the
+    Mosaic-lowerability of every knob combo is pinned by
+    scripts/aot_knob_sweep.py on a real compile service."""
+    from beach_seg_tpu.ops.attention import rel_tables_padded
+    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
+
+    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
+    s = gh * gw
+    c = nh * hd
+    zb = jnp.zeros((3, c), jnp.float32)
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_SOFTMAX", "clamp")
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_KSPLIT", "2")
+    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_JOINT_REL", "1")
+    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
+    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
+    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
+    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
