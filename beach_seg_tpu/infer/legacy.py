@@ -45,7 +45,7 @@ from beach_seg_tpu.infer.zero_shot import zero_shot_model
 from beach_seg_tpu.geo.shapefile import save_shapefile
 from beach_seg_tpu.geo.tiff import write as write_tiff
 from beach_seg_tpu.models.seggpt.load import load_model_params
-from beach_seg_tpu.parallel.mesh import make_mesh, param_sharding
+from beach_seg_tpu.parallel.mesh import batch_sharding, make_mesh, param_sharding, replicated
 from beach_seg_tpu.train.checkpoint import load_prompt_batch
 from beach_seg_tpu.utils.logging import allocate_run_dir, setup_logger
 
@@ -54,7 +54,45 @@ logger = logging.getLogger(__name__)
 CLASS_EXPORT_NAMES = {"water": "WetDryLine", "veg": "VegLine"}
 
 
+@functools.lru_cache(maxsize=4)
+def _legacy_batched(model, crop_size: int, num_classes: int, m_prompts: int):
+    """Jitted Q-ensemble forward, cached per (model, geometry).
+
+    uint8 in, uint8 out: normalize the staged prompts/queries and decode ON
+    DEVICE — only uint8 crosses the slow tunnel in either direction. All Q
+    ensembles run as ONE fused Q·P model batch (group-major) with the
+    per-ensemble averaging grouped via ``ensemble_groups`` — the flat batch
+    axis shards over the mesh data axis (a vmap over the kernels' shard_map
+    islands is unpartitionable on a real mesh).
+
+    Built at module level under lru_cache because a per-run ``@jax.jit``
+    closure retraces AND recompiles on every engine invocation — measured
+    2026-08-20: the warm bench_e2e legacy stream spent 63 s of a 66 s stream
+    in dispatch, dominated by the rebuild (flax Modules hash by config, so
+    identical runs hit this cache)."""
+
+    @jax.jit
+    def batched(params, queries_u8, pp_u8, pm_u8):
+        nq = queries_u8.shape[0]
+        pp = jnp.tile(normalize_device(pp_u8), (nq, 1, 1, 1))
+        pm = jnp.tile(normalize_device(pm_u8), (nq, 1, 1, 1))
+        queries = jnp.repeat(normalize_device(queries_u8), m_prompts, axis=0)
+        out = model.apply(
+            {"params": params}, queries, pp, pm,
+            embedding_type="semantic", feature_ensemble=True,
+            decode_query_only=True, ensemble_groups=nq,
+        )
+        pred = out["pred_masks"]
+        canvases = pred.reshape((nq, m_prompts) + pred.shape[1:])[:, 0]  # first canvas (ref :68)
+        return post_process_semantic_device(canvases, (crop_size, crop_size), num_classes - 1)
+
+    return batched
+
+
 def run_legacy(conf: LegacyConfig) -> Path:
+    from beach_seg_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # cold jit is minutes through the remote service
     t_start = time.perf_counter()
     root = Path(conf.prediction_root or conf.model_training_root)
     out_dir = allocate_run_dir(root, conf.project, "legacy", jax.process_index())
@@ -99,29 +137,7 @@ def run_legacy(conf: LegacyConfig) -> Path:
     mesh = make_mesh(conf.mesh_data, conf.mesh_model)
 
     m_prompts = len(p_pixels)
-
-    @jax.jit
-    def batched(params, queries_u8):
-        # uint8 in, uint8 out: normalize the staged prompts/queries and decode
-        # ON DEVICE — only uint8 crosses the slow tunnel in either direction.
-        # All Q ensembles run as ONE fused Q·P model batch (group-major) with
-        # the per-ensemble averaging grouped via ``ensemble_groups`` — the
-        # flat batch axis shards over the mesh data axis (a vmap over the
-        # kernels' shard_map islands is unpartitionable on a real mesh).
-        nq = queries_u8.shape[0]
-        pp = jnp.tile(normalize_device(jnp.asarray(p_pixels)), (nq, 1, 1, 1))
-        pm = jnp.tile(normalize_device(jnp.asarray(p_masks)), (nq, 1, 1, 1))
-        queries = jnp.repeat(normalize_device(queries_u8), m_prompts, axis=0)
-        out = model.apply(
-            {"params": params}, queries, pp, pm,
-            embedding_type="semantic", feature_ensemble=True,
-            decode_query_only=True, ensemble_groups=nq,
-        )
-        pred = out["pred_masks"]
-        canvases = pred.reshape((nq, m_prompts) + pred.shape[1:])[:, 0]  # first canvas (ref :68)
-        return post_process_semantic_device(
-            canvases, (conf.crop_size, conf.crop_size), num_classes - 1
-        )
+    batched = _legacy_batched(model, conf.crop_size, num_classes, m_prompts)
 
     from beach_seg_tpu.geo.extent import group_images_by_date
 
@@ -133,6 +149,9 @@ def run_legacy(conf: LegacyConfig) -> Path:
 
     with jax.sharding.set_mesh(mesh):
         params = jax.device_put(params, param_sharding(mesh, params))
+        pp_dev = jax.device_put(jnp.asarray(p_pixels), replicated(mesh))
+        pm_dev = jax.device_put(jnp.asarray(p_masks), replicated(mesh))
+        bs = batch_sharding(mesh)
 
         merger = MosaicPrefetcher(
             to_run,
@@ -141,12 +160,53 @@ def run_legacy(conf: LegacyConfig) -> Path:
                 out_transform=scene.out_transform, crs=scene.crs,
             ),
         )
-        # phase timers (same schema as infer/predict.py timings.json; this
-        # engine fetches synchronously per chunk, so dispatch_s includes the
-        # device sync and fetch_s stays 0)
         timers = {"mosaic": 0.0, "dispatch": 0.0, "fetch": 0.0, "paste": 0.0}
         n_tiles = 0
         t_setup = time.perf_counter()
+
+        def drain(sealed) -> None:
+            """Fetch a sealed date's ids and paste/export its outputs.
+
+            Called AFTER the next date's dispatches are queued (one-date
+            double buffer, same shape as infer/zero_shot.py) — the round-4
+            formulation fetched synchronously per 32-tile chunk, paying the
+            tunnel's seconds-of-fixed-latency sync inside the dispatch loop
+            (measured: 63 s of a 66 s stream)."""
+            date, merged_nodata_d, metas_d, dcat = sealed
+            t0 = time.perf_counter()
+            preds = np.asarray(dcat).astype(np.uint8)
+            timers["fetch"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            output = np.zeros(scene.out_shape, np.uint8)
+            for (crop, cn), pred in zip(metas_d, preds):
+                pred = pred.copy()
+                pred[cn.astype(bool)] = 0
+                inner = pred[buffer_px:-buffer_px, buffer_px:-buffer_px]
+                xmin, ymin, xmax, ymax = crop
+                safe_assign_crop(
+                    output, inner, ymin + buffer_px, ymax - buffer_px,
+                    xmin + buffer_px, xmax - buffer_px, logic="ascending",
+                )
+            timers["paste"] += time.perf_counter() - t0
+            # per-class 1-bit GeoTIFF + shoreline shapefile (ref :199-222)
+            for idx, cls in enumerate(conf.classes):
+                name = CLASS_EXPORT_NAMES.get(cls)
+                if name is None:
+                    continue
+                cls_mask = (output == idx).astype(np.uint8)
+                write_tiff(
+                    out_dir / f"{name}_{date}.tif", cls_mask, scene.out_transform,
+                    scene.crs, compress="lzw",
+                )
+                line = extract_linestring(cls_mask.astype(bool), merged_nodata_d)
+                if line is not None:
+                    save_shapefile(
+                        transform_line(line, scene.out_transform),
+                        out_dir / f"{name}_{date}.shp", scene.crs,
+                    )
+            logger.info("date %s done", date)
+
+        sealed_prev = None
         merger_it = iter(merger)
         while True:
             t0 = time.perf_counter()
@@ -155,7 +215,6 @@ def run_legacy(conf: LegacyConfig) -> Path:
             if nxt is None:
                 break
             date, (merged_img, merged_nodata) = nxt
-            output = np.zeros(scene.out_shape, np.uint8)
 
             queries, metas = [], []
             for crop in scene.crops:
@@ -168,42 +227,27 @@ def run_legacy(conf: LegacyConfig) -> Path:
                 continue
             b = max(1, conf.batch_size)
             n_tiles += len(queries)
+            results: list = []
             for start in range(0, len(queries), b):
                 chunk = queries[start : start + b]
                 pad = b - len(chunk)
                 batch_q = np.stack(chunk + [chunk[-1]] * pad)
                 t0 = time.perf_counter()
-                preds = np.asarray(batched(params, jnp.asarray(batch_q))[: len(chunk)]).astype(np.int32)
-                timers["dispatch"] += time.perf_counter() - t0
-                t0 = time.perf_counter()
-                for (crop, cn), pred in zip(metas[start : start + b], preds):
-                    pred = pred.astype(np.uint8)
-                    pred[cn.astype(bool)] = 0
-                    inner = pred[buffer_px:-buffer_px, buffer_px:-buffer_px]
-                    xmin, ymin, xmax, ymax = crop
-                    safe_assign_crop(
-                        output, inner, ymin + buffer_px, ymax - buffer_px,
-                        xmin + buffer_px, xmax - buffer_px, logic="ascending",
-                    )
-                timers["paste"] += time.perf_counter() - t0
-
-            # per-class 1-bit GeoTIFF + shoreline shapefile (ref :199-222)
-            for idx, cls in enumerate(conf.classes):
-                name = CLASS_EXPORT_NAMES.get(cls)
-                if name is None:
-                    continue
-                cls_mask = (output == idx).astype(np.uint8)
-                write_tiff(
-                    out_dir / f"{name}_{date}.tif", cls_mask, scene.out_transform,
-                    scene.crs, compress="lzw",
+                results.append(  # async — no host sync in the dispatch loop
+                    batched(params, jax.device_put(jnp.asarray(batch_q), bs), pp_dev, pm_dev)[: len(chunk)]
                 )
-                line = extract_linestring(cls_mask.astype(bool), merged_nodata)
-                if line is not None:
-                    save_shapefile(
-                        transform_line(line, scene.out_transform),
-                        out_dir / f"{name}_{date}.shp", scene.crs,
-                    )
-            logger.info("date %s done", date)
+                timers["dispatch"] += time.perf_counter() - t0
+            dcat = jnp.concatenate(results, axis=0) if len(results) > 1 else results[0]
+            try:
+                dcat.copy_to_host_async()
+            except Exception:  # interpret/CPU arrays may not support it
+                pass
+            # this date's work is queued — NOW pay the previous date's fetch
+            if sealed_prev is not None:
+                drain(sealed_prev)
+            sealed_prev = (date, merged_nodata, metas, dcat)
+        if sealed_prev is not None:
+            drain(sealed_prev)
         t_stream = time.perf_counter()
 
     # phase timings for benchmarking/observability (read by scripts/bench_e2e.py)

@@ -76,6 +76,9 @@ def resolve_config(pred_conf: PredictionConfig) -> BeachSegConfig:
 def run_predict(pred_conf: PredictionConfig) -> Path:
     import time
 
+    from beach_seg_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # cold jit is minutes through the remote service
     t_start = time.perf_counter()
     conf = resolve_config(pred_conf)
     root = Path(pred_conf.prediction_root or conf.model_training_root)

@@ -88,7 +88,47 @@ def zero_shot_model(conf: PredConfig) -> tuple[SegGPT, SegGPTConfig]:
     return SegGPT(cfg, dtype=dtype), cfg
 
 
+@functools.lru_cache(maxsize=4)
+def _zero_shot_batched(model, crop_size: int, num_classes: int):
+    """Jitted Q-grouped-ensemble forward, cached per (model, geometry).
+
+    Q query ensembles in ONE fused model batch of Q·P rows: queries
+    (Q,s,s,3) u8, prompts (Q,P,s,s,3) u8 group-major. The per-query
+    prompt-ensemble mean runs inside the model via ``ensemble_groups`` —
+    the whole batch axis is one flat Q·P dim that shards over the mesh data
+    axis (a vmap over the kernels' shard_map islands sharded the P=2 prompt
+    axis instead, which a real multi-chip mesh cannot partition). Only uint8
+    crosses the tunnel in either direction: normalize + decode stay on
+    device.
+
+    Module-level + lru_cache for the same reason as legacy's builder: a
+    per-run ``@jax.jit`` closure recompiles every engine invocation
+    (measured 2026-08-20: 49.5 s of the warm zero-shot stream's 67 s was
+    dispatch, dominated by the in-stream rebuild)."""
+
+    @jax.jit
+    def batched(params, queries_u8, p_pixels_u8, p_masks_u8):
+        nq, np_ = p_pixels_u8.shape[:2]
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])
+        queries = jnp.repeat(normalize_device(queries_u8), np_, axis=0)
+        p_pixels = normalize_device(flat(p_pixels_u8))
+        p_masks = normalize_device(flat(p_masks_u8))
+        out = model.apply(
+            {"params": params}, queries, p_pixels, p_masks,
+            embedding_type="instance", feature_ensemble=True,
+            decode_query_only=True, ensemble_groups=nq,
+        )
+        pred = out["pred_masks"]
+        canvases = pred.reshape((nq, np_) + pred.shape[1:]).mean(axis=1)
+        return post_process_semantic_device(canvases, (crop_size, crop_size), num_classes - 1)
+
+    return batched
+
+
 def run_zero_shot(conf: PredConfig) -> Path:
+    from beach_seg_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # cold jit is minutes through the remote service
     t_start = time.perf_counter()
     root = Path(conf.prediction_root or conf.model_training_root)
     predict_dir = allocate_run_dir(root, conf.project, "predict_no_prompt", jax.process_index())
@@ -136,32 +176,7 @@ def run_zero_shot(conf: PredConfig) -> Path:
     params = load_model_params(conf.checkpoint, model, model_cfg)
     mesh = make_mesh(conf.mesh_data, conf.mesh_model)
 
-    @jax.jit
-    def batched(params, queries_u8, p_pixels_u8, p_masks_u8):
-        """Q query ensembles in ONE fused model batch of Q·P rows.
-
-        queries (Q,s,s,3) u8, prompts (Q,P,s,s,3) u8 group-major. The
-        per-query prompt-ensemble mean runs inside the model via
-        ``ensemble_groups`` — unlike the previous vmap-of-ensembles
-        formulation, the whole batch axis is one flat Q·P dim that shards
-        over the mesh data axis (a vmap over the kernels' shard_map islands
-        sharded the P=2 prompt axis instead, which a real multi-chip mesh
-        cannot partition). Only uint8 crosses the tunnel in either direction:
-        normalize + decode stay on device.
-        """
-        nq, np_ = p_pixels_u8.shape[:2]
-        flat = lambda a: a.reshape((-1,) + a.shape[2:])
-        queries = jnp.repeat(normalize_device(queries_u8), np_, axis=0)
-        p_pixels = normalize_device(flat(p_pixels_u8))
-        p_masks = normalize_device(flat(p_masks_u8))
-        out = model.apply(
-            {"params": params}, queries, p_pixels, p_masks,
-            embedding_type="instance", feature_ensemble=True,
-            decode_query_only=True, ensemble_groups=nq,
-        )
-        pred = out["pred_masks"]
-        canvases = pred.reshape((nq, np_) + pred.shape[1:]).mean(axis=1)
-        return post_process_semantic_device(canvases, (crop_size, crop_size), num_classes - 1)
+    batched = _zero_shot_batched(model, crop_size, num_classes)
 
     with jax.sharding.set_mesh(mesh):
         params = jax.device_put(params, param_sharding(mesh, params))
@@ -209,9 +224,8 @@ def run_zero_shot(conf: PredConfig) -> Path:
                     )
                     pred = pred.copy()
                     pred[crop_nodata.astype(bool)] = 0  # ref :303
-                    one_hot = np.eye(num_classes, dtype=np.int32)[pred]
-                    acc.update(
-                        date, crops[crop_idx], one_hot,
+                    acc.update_ids(  # same votes, no np.eye one-hot gather
+                        date, crops[crop_idx], pred,
                         date_img=merged_img, date_nodata=merged_nodata,
                     )
             timers["paste"] += time.perf_counter() - t0

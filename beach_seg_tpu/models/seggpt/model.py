@@ -129,7 +129,7 @@ class Attention(nn.Module):
     impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, ln_params=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         ln_eps = cfg.layer_norm_eps  # single source of truth (ADVICE r3)
         b, gh, gw, c = x.shape
@@ -153,35 +153,16 @@ class Attention(nn.Module):
             use_fused and 2 * hd == 128 and c % 128 == 0 and gh <= 64 and gw <= 64
         )
         flat_path = use_qkv_rel_kernel and model_axis_size() == 1
-        if ln_params is not None and not flat_path:
-            # the caller deferred its pre-attention LayerNorm to us hoping for
-            # the fused LN+qkv kernel; this fallback path applies it plainly
-            x = _layer_norm(x, *ln_params, ln_eps)
         if flat_path:
             # single-model-shard fast path: a flat (C, 3C) contraction lets XLA
             # pick the natural row-major (B, S, 3C) output layout the kernel
             # reads — the "bstd" form below makes XLA relayout-copy the whole
             # (B, S, 3, C) tensor at the kernel boundary (~2.7 ms/layer at
             # B=32, measured). The reshape to (B, S, 3, C) is a free bitcast.
-            # With ln_params, the pre-attention LayerNorm fuses INTO the
-            # projection (one Pallas launch, VMEM-resident (C, 3C) weights) —
-            # the standalone LN pass costs ~1 ms/layer of HBM round-trip at
-            # B=32 that XLA does not fuse into the matmul.
-            if ln_params is not None:
-                from beach_seg_tpu.ops.pallas_mlp import fused_ln_proj
-
-                qkv4 = fused_ln_proj(
-                    x.reshape(b, s, c).astype(self.dtype),
-                    ln_params[0],
-                    ln_params[1],
-                    qkv_kernel.reshape(c, 3 * c).astype(self.dtype),
-                    ln_eps,
-                ).reshape(b, s, 3, c)
-            else:
-                qkv4 = jnp.einsum(
-                    "bsc,cd->bsd", x.reshape(b, s, c).astype(self.dtype),
-                    qkv_kernel.reshape(c, 3 * c).astype(self.dtype), precision=self.precision,
-                ).reshape(b, s, 3, c)
+            qkv4 = jnp.einsum(
+                "bsc,cd->bsd", x.reshape(b, s, c).astype(self.dtype),
+                qkv_kernel.reshape(c, 3 * c).astype(self.dtype), precision=self.precision,
+            ).reshape(b, s, 3, c)
         else:
             qkv4 = jnp.einsum(
                 "bsc,ctd->bstd", x.reshape(b, s, c).astype(self.dtype),
@@ -350,13 +331,11 @@ class Block(nn.Module):
         cfg = self.config
         ln_before = LayerNorm(cfg.hidden_size, cfg.layer_norm_eps, name="layernorm_before")
         attn = Attention(cfg, self.dtype, self.precision, self.attn_impl, name="attention")
-        if self.dtype == jnp.bfloat16 and env_flag("BEACH_SEG_TPU_FUSED_LN_QKV"):
-            # opt-in: defer ln1 into the attention module so it can fuse into
-            # the qkv projection kernel (mirrors the fused LN+MLP hand-off
-            # below); headline A/B decides whether this becomes the default
-            attn_out = attn(x, ln_params=ln_before(return_params=True))
-        else:
-            attn_out = attn(ln_before(x))
+        # (a fused LN→qkv-projection variant mirroring the LN+MLP hand-off
+        # below was measured a dead tie at the headline — 62.31 vs 62.32
+        # tiles/s, BENCHMARKS.md round 3 — and retired in round 5: XLA
+        # already hides the LN pass behind the projection at this geometry)
+        attn_out = attn(ln_before(x))
 
         # ``streams`` is the PHYSICAL stream count of the batch (2 until the
         # pixel/mask merge at merge_index has been applied — the merge happens

@@ -388,9 +388,7 @@ fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
 
 def _kernel_qkv_rel(
     q_ref, k_ref, v_ref, bias_ref, rh_ref, rw_ref, eh_ref, ew_ref, out_ref,
-    *, scale: float, hd: int, gw: int, exp2: bool = False, softmax: str = "stable",
-    pack_rw: bool = False, interleave: bool = False, fused_sum: bool = False,
-    joint_rel: bool = False, ksplit: int = 1,
+    *, scale: float, hd: int, gw: int, softmax: str = "stable",
 ):
     """_kernel_qkv with the rel-pos TERMS produced inside the kernel.
 
@@ -411,64 +409,30 @@ def _kernel_qkv_rel(
     batch dim is x, which dot_general forces to lead the output, so it pays
     two tiny (Yb, Wq, 64) VMEM transposes.
 
-    ``pack_rw``: ride the rel_w expansion on the scores matmul too —
-    qh = [q·scale ‖ rel_h ‖ rel_w] against kh = [k ‖ Eh ‖ Ewᵀ] in ONE
-    K=hd+128 contraction, instead of a separate (BQ, 64)@(64, S) expansion
-    matmul accumulated with a full-tile f32 add. Same MXU pass count (the
-    K=64 tail pads to a full pass either way) but one fewer (BQ, S) f32
-    VPU add and one fewer matmul dispatch per half.
-
     ``bias_ref`` carries the qkv projection bias for this head pair's 128
     lanes as a (3, 128) block — adding it here (q before the rel terms, so
     they see the biased q exactly like the HF formulation) removes the
     standalone (B, S, 3C) HBM bias pass that XLA would not fuse into the
-    projection matmul (~0.5 ms/layer at B=32)."""
+    projection matmul (~0.5 ms/layer at B=32).
+
+    This kernel once carried 8 schedule knobs (exp2 / pack_rw / interleave /
+    fused_sum / joint_rel / ksplit — see BENCHMARKS.md rounds 3–5 for each
+    variant's recorded A/B); every one measured a tie or a loss at headline
+    scale (and joint_rel could not pass the live-chip Mosaic compiler at the
+    flagship grid), so round 5 retired them all. The survivors are the
+    proven schedule below plus the ``softmax`` stability mode and the
+    wrapper's ``block_q``."""
     qb2 = q_ref[0] + bias_ref[0]  # (BQ, 2·hd)
     kb2 = k_ref[0] + bias_ref[1]  # (S, 2·hd)
     vb2 = v_ref[0] + bias_ref[2]  # (S, 2·hd)
     rh_tab = rh_ref[...]  # (Yb, 64, hd) — this q-block's y rows of the table
     rw_tab = rw_ref[...]  # (Wq, 64, hd)
     eh = eh_ref[...]  # (S, 64)
-    ew = ew_ref[...]  # (S, 64) transposed when pack_rw, else (64, S)
+    ew = ew_ref[...]  # (64, S)
     bq = qb2.shape[0]
     yb = bq // gw
 
-    rel_cache = {}
-    if joint_rel:
-        # produce BOTH halves' rel terms in two batched dots instead of four:
-        # the tables are shared across heads, so concatenating the halves'
-        # q rows along the dots' M dim (gw → 2·gw rows per y batch for rel_h,
-        # yb → 2·yb rows per x batch for rel_w) halves the dispatch count and
-        # doubles the M utilization of each small dot. ``rw_tab`` arrives
-        # DOUBLED to (2·gw, 64, hd) so the (half, x) combined dim batches
-        # against it. The rw dot's LHS batch dim must LEAD (Mosaic's tpu.matmul
-        # rejects mismatched batch-dim positions — "batch dims must be equal",
-        # found on real-TPU compile, invisible in interpret mode), so q6 pays
-        # one explicit transpose like the non-joint path's per-half q3t.
-        # Bit-identical per-element math.
-        q6 = jnp.concatenate(
-            [qb2[:, :hd].reshape(yb, gw, hd), qb2[:, hd:].reshape(yb, gw, hd)], axis=1
-        )  # (yb, 2·gw, hd) — half 0's x rows then half 1's, per y group
-        rel_h2 = jax.lax.dot_general(
-            q6, rh_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (yb, 2·gw, 64)
-        q6t = q6.transpose(1, 0, 2)  # (2·gw, yb, hd) — batch dim leads both sides
-        rw2 = jax.lax.dot_general(
-            q6t, rw_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (2·gw, yb, 64) — batch dim (half, x) leads the output
-        for j in (0, 1):
-            rhb = rel_h2[:, j * gw : (j + 1) * gw].reshape(bq, 64).astype(qb2.dtype)
-            rwb = (
-                rw2[j * gw : (j + 1) * gw]
-                .transpose(1, 0, 2)
-                .reshape(bq, 64)
-                .astype(qb2.dtype)
-            )
-            rel_cache[j] = (rhb, rwb)
-
-    def _rel_terms(j, qb):
-        if joint_rel:
-            return rel_cache[j]
+    def _rel_terms(qb):
         q3 = qb.reshape(yb, gw, hd)
         rel_h = jax.lax.dot_general(
             q3, rh_tab, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -481,155 +445,46 @@ def _kernel_qkv_rel(
         rwb = rw3.transpose(1, 0, 2).reshape(bq, 64).astype(qb.dtype)
         return rhb, rwb
 
-    if ksplit > 1:
-        # K-BLOCKED SINGLE-PASS schedule (structural variant, opt-in via
-        # BEACH_SEG_TPU_ATTN_KSPLIT): the monolithic schedule computes the
-        # full (BQ, S) score tile (MXU), then one serialized softmax sweep
-        # (VPU), then the PV matmul (MXU) — the VPU sweep sits on the MXU's
-        # critical path. Splitting the key axis into ``ksplit`` blocks turns
-        # each half into independent per-block chains
-        #     scoresₜ (MXU) → expₜ (VPU) → pvₜ (MXU, accumulated)
-        # where scoresₜ₊₁ has no dependency on expₜ, giving Mosaic's
-        # scheduler block-granular MXU/VPU overlap. Requires a max-free
-        # softmax (clamp/fast): with no row-max there is no cross-block
-        # rescale, so the per-element math is IDENTICAL to the monolithic
-        # kernel — only the row-sum/PV accumulation order changes (f32
-        # accumulators, ≤ksplit partial sums). ``ew`` arrives pre-split as
-        # (ksplit·64, S/ksplit) sublane-stacked blocks: lane-slicing the
-        # (64, S) form at non-128-multiple offsets would force relayouts.
-        assert softmax in ("clamp", "fast"), softmax
-        s_all = kb2.shape[0]
-        kb_sz = s_all // ksplit
-        texp = jnp.exp2 if exp2 else jnp.exp
-        clamp_hi = 80.0 * (_LOG2E if exp2 else 1.0)
-        halves = []
-        for j in (0, 1):
-            qb = qb2[:, j * hd : (j + 1) * hd]
-            kb = kb2[:, j * hd : (j + 1) * hd]
-            vb = vb2[:, j * hd : (j + 1) * hd]
-            rhb, rwb = _rel_terms(j, qb)
-            qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb], axis=-1)
-            acc = jnp.zeros((bq, hd), jnp.float32)
-            r = jnp.zeros((bq, 1), jnp.float32)
-            for t in range(ksplit):
-                lo = t * kb_sz
-                kh_t = jnp.concatenate(
-                    [kb[lo : lo + kb_sz], eh[lo : lo + kb_sz]], axis=-1
-                )
-                sc = jax.lax.dot_general(
-                    qh, kh_t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-                )
-                sc = sc + jax.lax.dot_general(
-                    rwb, ew[t * 64 : (t + 1) * 64], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                p = texp(jnp.minimum(sc, clamp_hi)) if softmax == "clamp" else texp(sc)
-                r = r + jnp.sum(p, axis=-1, keepdims=True)
-                acc = acc + jax.lax.dot_general(
-                    p.astype(vb.dtype), vb[lo : lo + kb_sz], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            halves.append(acc / (r + 1e-30))
-        out_ref[0] = jnp.concatenate(halves, axis=-1).astype(out_ref.dtype)
-        return
-
-    def _scores(j):
+    halves = []
+    for j in (0, 1):
         qb = qb2[:, j * hd : (j + 1) * hd]
         kb = kb2[:, j * hd : (j + 1) * hd]
-        rhb, rwb = _rel_terms(j, qb)
-        if pack_rw:
-            qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb, rwb], axis=-1)
-            kh = jnp.concatenate([kb, eh, ew], axis=-1)
-            return jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
+        vb = vb2[:, j * hd : (j + 1) * hd]
+        rhb, rwb = _rel_terms(qb)
         qh = jnp.concatenate([qb * jnp.asarray(scale, qb.dtype), rhb], axis=-1)
         kh = jnp.concatenate([kb, eh], axis=-1)
         scores = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return scores + jax.lax.dot_general(
+        scores = scores + jax.lax.dot_general(
             rwb, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-
-    def _probs(scores):
-        # `exp2`: the wrapper pre-folds log2(e) into `scale` AND the rel
-        # tables, so scores are already in base-2 log space — exp2 is the
-        # VPU's native transcendental (exp lowers to exp2 + a multiply pass
-        # over the full (BQ, S) tile). Softmax stability variants (measured
-        # ~1 ms/layer for the full max reduce+subtract at B=32):
+        # Softmax stability variants (measured ~1 ms/layer for the full max
+        # reduce+subtract at B=32):
         #   stable — classic row-max subtraction (bit-matches the oracle)
-        #   clamp  — one-sided min at 80 (87.3 in log2 space): EXACT while
-        #            row max < 80 (attention logits of this frozen backbone
-        #            sit around ±20), always finite above it; one elementwise
-        #            VPU pass instead of reduce+subtract
+        #   clamp  — one-sided min at 80: EXACT while row max < 80 (attention
+        #            logits of this frozen backbone sit around ±20), always
+        #            finite above it; one elementwise VPU pass instead of
+        #            reduce+subtract — the bf16 production default
         #   fast   — raw exp, zero stability passes (finite while |s| < 88)
-        texp = jnp.exp2 if exp2 else jnp.exp
         if softmax == "clamp":
-            p = texp(jnp.minimum(scores, 80.0 * (_LOG2E if exp2 else 1.0)))
+            p = jnp.exp(jnp.minimum(scores, 80.0))
         elif softmax == "fast":
-            p = texp(scores)
+            p = jnp.exp(scores)
         else:
             m = jnp.max(scores, axis=-1, keepdims=True)
-            p = texp(scores - m)
-        if fused_sum:
-            # normalization rides the PV matmul's wasted output-lane padding
-            # (see _pv) — no standalone (BQ, S)-wide VPU reduce
-            return p, None
+            p = jnp.exp(scores - m)
         r = jnp.sum(p, axis=-1, keepdims=True)
         if softmax != "stable":
             # a fully-underflowed row (all logits < −87) divides 0/0 under
             # stable-less softmax; the epsilon turns it into a zero row
             # (relative perturbation 1e-30 — below bf16/f32 rounding)
             r = r + 1e-30
-        return p, r
-
-    def _pv(p, r, j):
-        vb = vb2[:, j * hd : (j + 1) * hd]
-        if r is None:
-            # `fused_sum`: the PV output is hd=64 lanes padded to a 128-lane
-            # MXU tile anyway — augmenting V with an all-ones 64-lane block
-            # makes the pad lanes compute the softmax row-sum (64 identical
-            # copies, f32-accumulated) in the SAME pass, replacing the
-            # explicit (BQ, S) reduce. Numerator and denominator then share
-            # the bf16-rounded p, so the rounding largely cancels in the
-            # ratio (a consistent weighted mean with perturbed weights).
-            s = vb.shape[0]
-            vb1 = jnp.concatenate([vb, jnp.ones((s, hd), vb.dtype)], axis=-1)
-            pv = jax.lax.dot_general(
-                p.astype(vb.dtype), vb1, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            den = pv[:, hd:]
-            if softmax != "stable":
-                den = den + 1e-30
-            return pv[:, :hd] / den
         out = jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return out / r
-
-    if interleave:
-        # software-pipeline the two halves: emit half 1's scores matmuls
-        # (MXU) before half 0's softmax (VPU) so the scheduler can overlap
-        # them, and half 0's PV matmul (MXU) before half 1's softmax (VPU).
-        # Identical per-half fp op sequence — only the emission ORDER changes
-        s0 = _scores(0)
-        s1 = _scores(1)
-        p0, r0 = _probs(s0)
-        o0 = _pv(p0, r0, 0)
-        p1, r1 = _probs(s1)
-        o1 = _pv(p1, r1, 1)
-        halves = [o0, o1]
-    else:
-        halves = []
-        for j in (0, 1):
-            p, r = _probs(_scores(j))
-            halves.append(_pv(p, r, j))
+        halves.append(out / r)
     out_ref[0] = jnp.concatenate(halves, axis=-1).astype(out_ref.dtype)
-
-
-_LOG2E = 1.4426950408889634
 
 
 def _pallas_attention_qkv_rel(
@@ -640,14 +495,8 @@ def _pallas_attention_qkv_rel(
     num_heads: int,
     interpret: bool = False,
     block_q: int = 784,
-    exp2: bool = False,
     softmax: str = "stable",
-    pack_rw: bool = False,
     qkv_bias: jnp.ndarray | None = None,
-    interleave: bool = False,
-    fused_sum: bool = False,
-    joint_rel: bool = False,
-    ksplit: int = 1,
 ) -> jnp.ndarray:
     """qkv: (B, S, 3C); rh_tab: (Gh, 64, hd) / rw_tab: (Gw, 64, hd) — the
     get_rel_pos-interpolated tables zero-padded to 64 key slots; qkv_bias:
@@ -668,57 +517,14 @@ def _pallas_attention_qkv_rel(
     hp = num_heads // 2
     qblk = c // 128
     grid = (b, hp, s // bq)
-    if ksplit > 1 and (
-        softmax not in ("clamp", "fast")
-        or pack_rw
-        or fused_sum
-        or interleave
-        or s % ksplit
-        or (s // ksplit) % 8
-    ):
-        ksplit = 1  # blocked schedule needs a max-free softmax + clean blocks
     ks = jnp.arange(s)
     eh = (ks[:, None] // gw == jnp.arange(64)[None, :]).astype(qkv.dtype)  # (S, 64)
-    if pack_rw:
-        ew = (ks[:, None] % gw == jnp.arange(64)[None, :]).astype(qkv.dtype)  # (S, 64)
-    else:
-        ew = (jnp.arange(64)[:, None] == ks[None, :] % gw).astype(qkv.dtype)  # (64, S)
-        if ksplit > 1:
-            # sublane-stack the per-block lane slices: block t reads rows
-            # [t·64, (t+1)·64) — jit-constant, so the repack is free
-            kb_sz = s // ksplit
-            ew = jnp.concatenate(
-                [ew[:, t * kb_sz : (t + 1) * kb_sz] for t in range(ksplit)], axis=0
-            )  # (ksplit·64, S/ksplit)
+    ew = (jnp.arange(64)[:, None] == ks[None, :] % gw).astype(qkv.dtype)  # (64, S)
     if qkv_bias is None:
         qkv_bias = jnp.zeros((3, c), qkv.dtype)
     assert qkv_bias.shape == (3, c), qkv_bias.shape
     qkv_bias = qkv_bias.astype(qkv.dtype)
-    if exp2:
-        # move the softmax into base-2 log space: exp(s) == exp2(s·log2e),
-        # with log2e folded into the score scale and the (jit-constant) rel
-        # tables — zero extra work anywhere, one fewer full-tile VPU multiply
-        # inside the kernel's exp
-        scale = scale * _LOG2E
-        rh_tab = rh_tab * _LOG2E
-        rw_tab = rw_tab * _LOG2E
-    if joint_rel:
-        # the kernel batches the (half, x) combined dim of its joint q rows
-        # against the width table, so the (jit-constant) table is doubled
-        rw_tab = jnp.concatenate([rw_tab, rw_tab], axis=0)  # (2·Gw, 64, hd)
-    kernel = functools.partial(
-        _kernel_qkv_rel, scale=scale, hd=hd, gw=gw, exp2=exp2, softmax=softmax,
-        pack_rw=pack_rw, interleave=interleave, fused_sum=fused_sum,
-        joint_rel=joint_rel, ksplit=ksplit,
-    )
-    if pack_rw:
-        ew_spec = pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM)
-    elif ksplit > 1:
-        ew_spec = pl.BlockSpec(
-            (ksplit * 64, s // ksplit), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM
-        )
-    else:
-        ew_spec = pl.BlockSpec((64, s), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_qkv_rel, scale=scale, hd=hd, gw=gw, softmax=softmax)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -728,13 +534,9 @@ def _pallas_attention_qkv_rel(
             pl.BlockSpec((1, s, 128), lambda g, h, i: (g, 0, 2 * qblk + h), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda g, h, i: (0, h), memory_space=pltpu.VMEM),
             pl.BlockSpec((yb, 64, hd), lambda g, h, i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                ((2 * gw if joint_rel else gw), 64, hd),
-                lambda g, h, i: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((gw, 64, hd), lambda g, h, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((s, 64), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM),
-            ew_spec,
+            pl.BlockSpec((64, s), lambda g, h, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, 128), lambda g, h, i: (g, i, h), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
@@ -793,42 +595,18 @@ def fused_attention_qkv_rel(qkv4, qkv_bias, rh_tab, rw_tab, scale: float, gw: in
     interpret = jax.default_backend() != "tpu"
     b, s, three, c = qkv4.shape
     mp = model_axis_size()
-    # softmax micro-variants (measured knobs; see _kernel_qkv_rel docstring):
-    # exp2 is numerically equivalent (log2e folded into scale + tables);
-    # the stability mode is resolved per compute dtype (_resolve_softmax)
-    exp2 = env_flag("BEACH_SEG_TPU_ATTN_EXP2")
+    # the softmax stability mode is the one surviving schedule knob (resolved
+    # per compute dtype — see _resolve_softmax); the other seven schedule
+    # variants this entry once exposed were all retired in round 5 after
+    # their headline A/Bs recorded ties/losses (BENCHMARKS.md)
     softmax = _resolve_softmax(qkv4.dtype)
-    pack_rw = env_flag("BEACH_SEG_TPU_ATTN_PACK_RW")
-    # statement-order software pipelining of the two head halves: measured a
-    # dead tie at the headline (62.65 vs 62.66 tiles/s — Mosaic's scheduler
-    # already extracts the MXU/VPU overlap), so it stays opt-in for the
-    # microbench's A/B surface
-    interleave = env_flag("BEACH_SEG_TPU_ATTN_INTERLEAVE")
-    # ride the softmax row-sum on the PV matmul's 64→128 output-lane padding
-    # (removes the explicit (BQ, S) reduce — see _kernel_qkv_rel._pv);
-    # opt-in until a headline A/B on hardware records a win
-    fused_sum = env_flag("BEACH_SEG_TPU_ATTN_FUSED_SUM")
-    # joint-halves rel-term production: 2 batched dots per block instead of 4,
-    # each at double M, zero input transposes (see _kernel_qkv_rel);
-    # opt-in until a headline A/B on hardware records a win
-    joint_rel = env_flag("BEACH_SEG_TPU_ATTN_JOINT_REL")
-    # K-blocked single-pass schedule (structural variant): split the key axis
-    # into N blocks so score-matmul (MXU) and exp (VPU) chains of different
-    # blocks overlap instead of serializing on one full-tile softmax sweep;
-    # needs the max-free clamp/fast softmax (see _kernel_qkv_rel). Opt-in
-    # until a headline A/B on hardware records a win.
-    import os as _os
-
-    ksplit = int(_os.environ.get("BEACH_SEG_TPU_ATTN_KSPLIT", "0") or 0)
 
     def fn(qkv4_loc, bias_loc, rh, rw):
         bl, sl, _, cl = qkv4_loc.shape
         nh_loc = num_heads * cl // c
         return _pallas_attention_qkv_rel(
             qkv4_loc.reshape(bl, sl, 3 * cl), rh, rw, scale, nh_loc,
-            interpret=interpret, exp2=exp2, softmax=softmax, pack_rw=pack_rw,
-            qkv_bias=bias_loc, interleave=interleave, fused_sum=fused_sum,
-            joint_rel=joint_rel, ksplit=ksplit,
+            interpret=interpret, softmax=softmax, qkv_bias=bias_loc,
         )
 
     if mp > 1 and num_heads % mp == 0 and (num_heads // mp) % 2 == 0:
@@ -944,7 +722,7 @@ def _reference_flat(q, k, v, rel_h, rel_w, scale, hk, wk):
 def _bwd_kernel(
     q_ref, k_ref, v_ref, rh_ref, rw_ref, g_ref, ehw_ref,
     dq_ref, dk_ref, dv_ref, drh_ref, drw_ref,
-    *, scale: float, hk: int, exp2: bool = False,
+    *, scale: float, hk: int,
 ):
     """Flash-style backward: recompute P per q-block in VMEM, accumulate
     dK/dV across q-blocks via output-block revisiting (index_map constant in
@@ -962,23 +740,17 @@ def _bwd_kernel(
     g = g_ref[0].astype(jnp.float32)
     ehw = ehw_ref[:]  # (Hk+Wk, S) stacked 0/1 expansion matrix
 
-    # recompute probabilities (same math as the forward kernel). With `exp2`
-    # the scores are built in base-2 log space (log2e folded into the scale
-    # and the tiny (BQ, Hk+Wk) bias operand — NOT a full-tile pass) so the
-    # normalization uses the native exp2 transcendental.
-    l2e = _LOG2E if exp2 else 1.0
+    # recompute probabilities (same math as the forward kernel)
     scores = (
         jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        * (scale * l2e)
+        * scale
     )
     rhw = jnp.concatenate([rh_ref[0], rw_ref[0]], axis=-1)  # (BQ, Hk+Wk)
-    if exp2:
-        rhw = (rhw.astype(jnp.float32) * l2e).astype(rhw.dtype)
     scores = scores + jax.lax.dot_general(
         rhw, ehw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     m = jnp.max(scores, axis=-1, keepdims=True)
-    u = jnp.exp2(scores - m) if exp2 else jnp.exp(scores - m)
+    u = jnp.exp(scores - m)
     p = u / jnp.sum(u, axis=-1, keepdims=True)  # (BQ, S) f32
 
     # dV += Pᵀ g
@@ -1018,7 +790,6 @@ def _pallas_attention_bwd(q, k, v, rel_h, rel_w, g, scale: float, interpret: boo
     bh, s, d = q.shape
     hk = rel_h.shape[-1]
     wk = rel_w.shape[-1]
-    exp2 = env_flag("BEACH_SEG_TPU_ATTN_EXP2")
     # smaller q-blocks than forward: backward keeps three (BQ, S) f32 buffers
     # (p, dp, ds) live at once and 784 blows the 16 MB VMEM budget
     bq = _pick_block(s, target=392)
@@ -1027,7 +798,7 @@ def _pallas_attention_bwd(q, k, v, rel_h, rel_w, g, scale: float, interpret: boo
     eh = (ks[None, :] // wk == jnp.arange(hk)[:, None]).astype(q.dtype)
     ew = (ks[None, :] % wk == jnp.arange(wk)[:, None]).astype(q.dtype)
     ehw = jnp.concatenate([eh, ew], axis=0)  # (Hk+Wk, S), jit-constant
-    kernel = functools.partial(_bwd_kernel, scale=scale, hk=hk, exp2=exp2)
+    kernel = functools.partial(_bwd_kernel, scale=scale, hk=hk)
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,

@@ -145,161 +145,11 @@ def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float, approx: bool)
     return out.reshape(shape)
 
 
-def _kernel_ln_proj(x_ref, ls_ref, lb_ref, w_ref, out_ref, *, eps: float):
-    """LayerNorm → linear projection, weights VMEM-resident.
-
-    Built for the pre-attention LN + qkv projection (HF modeling_seggpt.py
-    :403-418 ln1 → :210-240 qkv): the standalone LN costs ~1 ms/layer of HBM
-    round-trip at B=32 that XLA does not fuse into the following matmul. LN
-    stats in fp32 registers, one matmul with fp32 accumulation, one store.
-    The qkv bias stays OUT — the attention kernel adds it in VMEM."""
-    x = x_ref[...]
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    ln = ((xf - mean) * jax.lax.rsqrt(var + eps) * ls_ref[...] + lb_ref[...]).astype(x.dtype)
-    y = jax.lax.dot_general(
-        ln, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    out_ref[...] = y.astype(out_ref.dtype)
-
-
-def _ln_proj_reference(x2d, ln_scale, ln_bias, w, eps):
-    """Pure-XLA oracle with the kernel's exact fp32 semantics."""
-    xf = x2d.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    ln = ((xf - mean) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias).astype(x2d.dtype)
-    return jnp.dot(ln, w, preferred_element_type=jnp.float32).astype(x2d.dtype)
-
-
-def _pallas_ln_proj(x2d, ln_scale, ln_bias, w, eps, interpret=False):
-    n, c = x2d.shape
-    d = w.shape[1]
-    br = _pick_rows(n)
-    kernel = functools.partial(_kernel_ln_proj, eps=eps)
-    return pl.pallas_call(
-        kernel,
-        grid=(n // br,),
-        in_specs=[
-            pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((br, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, d), x2d.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * c * d,
-            bytes_accessed=(n * c + n * d + c * d) * 2,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
-        interpret=interpret,
-    )(x2d, ln_scale, ln_bias, w)
-
-
-def _kernel_ln_proj_dx(x_ref, ls_ref, w_ref, g_ref, dx_ref, *, eps: float):
-    """Activation gradient of LN→proj: dln = g·wᵀ (resident w), then the
-    LayerNorm vjp — recomputed stats, no saved activations."""
-    x = x_ref[...]
-    g = g_ref[...]
-    ls = ls_ref[...]
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (xf - mean) * rstd
-    dln = jax.lax.dot_general(
-        g, w_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dxhat = dln * ls
-    c = x.shape[-1]
-    dx = (
-        dxhat
-        - dxhat.mean(-1, keepdims=True)
-        - xhat * (dxhat * xhat).sum(-1, keepdims=True) / c
-    ) * rstd
-    dx_ref[...] = dx.astype(dx_ref.dtype)
-
-
-def _pallas_ln_proj_dx(x2d, ln_scale, w, g2d, eps, interpret=False):
-    n, c = x2d.shape
-    d = w.shape[1]
-    br = _pick_rows(n)
-    kernel = functools.partial(_kernel_ln_proj_dx, eps=eps)
-    return pl.pallas_call(
-        kernel,
-        grid=(n // br,),
-        in_specs=[
-            pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, c), x2d.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * c * d,
-            bytes_accessed=(2 * n * c + n * d + c * d) * 2,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
-        interpret=interpret,
-    )(x2d, ln_scale, w, g2d)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def fused_ln_proj(x, ln_scale, ln_bias, w, eps: float):
-    """LN → (..., C)·(C, D) projection in one Pallas launch (no bias).
-
-    Single-model-shard only (the caller's TP path keeps the head-major
-    layout and a separate LN); the island shards the batch (dim 0) over the
-    mesh data axis like every kernel here."""
-    shape = x.shape
-    x3 = x.reshape(shape[0], -1, shape[-1])
-    interpret = jax.default_backend() != "tpu"
-
-    def fn(x3, ln_scale, ln_bias, w):
-        b, m, c = x3.shape
-        out = _pallas_ln_proj(x3.reshape(b * m, c), ln_scale, ln_bias, w, eps, interpret=interpret)
-        return out.reshape(b, m, -1)
-
-    out = data_sharded_call(fn, (x3, ln_scale, ln_bias, w), (True, False, False, False))
-    return out.reshape(shape[:-1] + (w.shape[1],))
-
-
-def _lnp_fwd(x, ln_scale, ln_bias, w, eps):
-    return fused_ln_proj(x, ln_scale, ln_bias, w, eps), (x, ln_scale, ln_bias, w)
-
-
-def _lnp_bwd(eps, res, g):
-    x, ln_scale, ln_bias, w = res
-    shape = x.shape
-    interpret = jax.default_backend() != "tpu"
-
-    x3 = x.reshape(shape[0], -1, shape[-1])
-    g3 = g.reshape(shape[0], -1, g.shape[-1])
-
-    def fn(x3, g3, ln_scale, w):
-        b, m, c = x3.shape
-        out = _pallas_ln_proj_dx(
-            x3.reshape(b * m, c), ln_scale, w, g3.reshape(b * m, -1), eps, interpret=interpret
-        )
-        return out.reshape(b, m, c)
-
-    dx = data_sharded_call(fn, (x3, g3, ln_scale, w), (True, True, False, False)).reshape(shape)
-
-    # parameter cotangents via the XLA recompute — DCE'd for the frozen
-    # backbone (only dx is consumed by prompt tuning)
-    x2d = x.reshape(-1, shape[-1])
-    ref = lambda ls, lb, w_: _ln_proj_reference(x2d, ls, lb, w_, eps)
-    _, vjp = jax.vjp(ref, ln_scale, ln_bias, w)
-    dls, dlb, dw = vjp(g.reshape(-1, g.shape[-1]))
-    return dx, dls, dlb, dw
-
-
-fused_ln_proj.defvjp(_lnp_fwd, _lnp_bwd)
+# (A fused LN→qkv-projection kernel family lived here through round 4
+# (BEACH_SEG_TPU_FUSED_LN_QKV). Its headline A/B was a dead tie — 62.31 vs
+# 62.32 tiles/s, BENCHMARKS.md round 3 — so round 5 retired it per the same
+# rule as the decoder kernel: an opt-in kernel that does not beat XLA is
+# maintenance surface.)
 
 
 def _gelu_grad_f32(h: jnp.ndarray, approx: bool) -> jnp.ndarray:

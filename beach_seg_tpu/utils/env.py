@@ -12,7 +12,7 @@ def env_flag(name: str) -> bool:
 
     Single source of truth for the BEACH_SEG_TPU_* feature flags so sites
     that must agree (e.g. the attention forward and backward kernels reading
-    BEACH_SEG_TPU_ATTN_EXP2) cannot drift apart in how they parse the value.
+    BEACH_SEG_TPU_ATTN_NO_MAX) cannot drift apart in how they parse the value.
     """
     return os.environ.get(name, "") not in ("", "0")
 

@@ -16,6 +16,15 @@ conditions (no TPU plugin, compile service down/slow) print SKIP and exit 0;
 genuine Mosaic/lowering errors print FAILED and exit 1. Wired into
 scripts/run_measurement_queue.sh so every queue pass re-certifies the matrix.
 
+KNOWN LIMIT (measured 2026-08-20): this environment's AOT chipless compile
+helper and its live-chip execution compile path do not share Mosaic layout
+behavior — joint_rel's q-halves concatenate compiled OK through AOT at the
+exact flagship geometry while the execution path rejected it
+("result/input offset mismatch on non-concat dimension"). The sweep
+certifies AOT lowerability; an execution-path compile (any bench/e2e run)
+remains the final word, which is one of the reasons the measurement queue
+runs both. joint_rel/ksplit were retired over this.
+
 Usage: python scripts/aot_knob_sweep.py [--topology v5e:2x2] [--geometry vitl]
 """
 
@@ -33,38 +42,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from scripts.check_multichip_compile import classify  # noqa: E402
 
 
-# Each row: (label, kwargs for _pallas_attention_qkv_rel). The matrix covers
-# every knob alone plus every pair that shares a kernel code path (the
-# interaction surface where round 4's failure lived). Combos whose resolved
-# kernel parameters collapse to an earlier row (the wrapper's ksplit fallback
-# guard) are deduped at runtime.
+# Each row: (label, kwargs for _pallas_attention_qkv_rel) — the surviving
+# knob matrix after the round-5 prune (softmax stability mode × q-block
+# size; the six retired schedule variants' rows are gone with their code).
+# Duplicate resolved configs are deduped at runtime.
 COMBOS: list[tuple[str, dict]] = [
     ("default (stable)", dict(softmax="stable")),
     ("clamp", dict(softmax="clamp")),
     ("fast", dict(softmax="fast")),
-    ("exp2+stable", dict(softmax="stable", exp2=True)),
-    ("exp2+clamp", dict(softmax="clamp", exp2=True)),
-    ("pack_rw", dict(softmax="stable", pack_rw=True)),
-    ("pack_rw+exp2+fast", dict(softmax="fast", exp2=True, pack_rw=True)),
-    ("interleave", dict(softmax="clamp", interleave=True)),
-    ("fused_sum+clamp", dict(softmax="clamp", fused_sum=True)),
-    ("fused_sum+stable", dict(softmax="stable", fused_sum=True)),
-    ("fused_sum+fast", dict(softmax="fast", fused_sum=True)),
-    ("joint_rel", dict(softmax="clamp", joint_rel=True)),
-    ("joint_rel+stable", dict(softmax="stable", joint_rel=True)),
-    ("joint_rel+interleave", dict(softmax="clamp", joint_rel=True, interleave=True)),
-    ("joint_rel+pack_rw", dict(softmax="clamp", joint_rel=True, pack_rw=True)),
-    ("joint_rel+fused_sum", dict(softmax="clamp", joint_rel=True, fused_sum=True)),
-    ("ksplit=2", dict(softmax="clamp", ksplit=2)),
-    ("ksplit=4", dict(softmax="clamp", ksplit=4)),
-    ("ksplit=7", dict(softmax="clamp", ksplit=7)),
-    ("ksplit=2+fast", dict(softmax="fast", ksplit=2)),
-    ("ksplit=2+joint_rel", dict(softmax="clamp", ksplit=2, joint_rel=True)),
-    ("ksplit=4+joint_rel", dict(softmax="clamp", ksplit=4, joint_rel=True)),
-    ("ksplit=2+exp2", dict(softmax="clamp", ksplit=2, exp2=True)),
     ("bq=S (one q-block)", dict(softmax="clamp", block_q=None)),  # None → S
     ("bq=392", dict(softmax="clamp", block_q=392)),
-    ("ksplit=2+bq=S", dict(softmax="clamp", ksplit=2, block_q=None)),
+    ("bq=S stable", dict(softmax="stable", block_q=None)),
 ]
 
 
@@ -111,13 +99,16 @@ def main() -> int:
 
     from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
 
-    # ViT-L crop geometry: gh=56, gw=28 → S=1568 (ViT-H shares hd=64 and the
-    # same S, so the vitl sweep covers both backbones' kernel bodies; the
-    # `huge` option exists for an explicit re-check at nh=16's grid).
+    # ViT-L crop geometry: gh=56, gw=28 → S=1568, FULL 16 heads. The head
+    # count must match the flagship: a 1-head-pair sweep compiled a
+    # joint-rel combo that then failed Mosaic at nh=16 ("result/input offset
+    # mismatch" on a concatenate — layout assignment differs with the grid),
+    # so shrinking the grid trades away exactly the failures this sweep
+    # exists to catch. b=2 keeps the batch axis > 1 for the same reason.
     gh, gw, hd = 56, 28, 64
     s = gh * gw
-    nh = 2  # one head pair — the kernel grid's head axis, body is identical
-    b = 1
+    nh = 16
+    b = 2
     c = nh * hd
     dt = jnp.bfloat16
 

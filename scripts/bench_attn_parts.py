@@ -94,15 +94,13 @@ def main():
             qkv.reshape(B, S, 3, C), zbias, rh_tab, rw_tab, HD**-0.5, GW, NH
         )
 
-    def rel_in_kernel_variant(exp2, softmax="stable", pack_rw=False, block_q=784, interleave=False, fused_sum=False, ksplit=1, joint_rel=False):
+    def rel_in_kernel_variant(softmax="stable", block_q=784):
         from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
 
         def fn(qkv, rph, rpw):
             rh_tab, rw_tab = rel_tables_padded(rph, rpw, (GH, GW), (GH, GW))
             return _pallas_attention_qkv_rel(
-                qkv, rh_tab, rw_tab, HD**-0.5, NH, exp2=exp2, softmax=softmax,
-                pack_rw=pack_rw, block_q=block_q, interleave=interleave,
-                fused_sum=fused_sum, ksplit=ksplit, joint_rel=joint_rel,
+                qkv, rh_tab, rw_tab, HD**-0.5, NH, softmax=softmax, block_q=block_q,
             )
 
         return fn
@@ -112,46 +110,15 @@ def main():
     if which in ("all", "relk"):
         timeit("rel-in-kernel (tables in)", rel_in_kernel, qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "softmax"):
-        timeit("rel-in-kernel exp2", rel_in_kernel_variant(True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel no-max", rel_in_kernel_variant(False, "fast"), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel exp2+no-max", rel_in_kernel_variant(True, "fast"), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel clamp", rel_in_kernel_variant(False, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel exp2+clamp", rel_in_kernel_variant(True, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
-    if which in ("all", "packrw"):
-        timeit("rel-in-kernel pack-rw", rel_in_kernel_variant(False, "stable", True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel exp2+pack-rw", rel_in_kernel_variant(True, "stable", True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel exp2+no-max+pack-rw", rel_in_kernel_variant(True, "fast", True), qkv, (rph, rpw), flops=attn_flops, m=4)
-    if which in ("all", "interleave"):
-        timeit("rel-in-kernel seq (stable)", rel_in_kernel_variant(False, "stable"), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel interleave (stable)", rel_in_kernel_variant(False, "stable", interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel seq (clamp)", rel_in_kernel_variant(False, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel interleave (clamp)", rel_in_kernel_variant(False, "clamp", interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel interleave bq=392", rel_in_kernel_variant(False, "clamp", block_q=392, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
-    if which in ("all", "ilvsweep"):
-        timeit("ilv-sweep seq bq=392 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=392), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("ilv-sweep ilv bq=784 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=784, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("ilv-sweep ilv bq=392 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=392, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("ilv-sweep ilv bq=224 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=224, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("ilv-sweep ilv bq=112 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=112, interleave=True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("ilv-sweep seq bq=224 (clamp)", rel_in_kernel_variant(False, "clamp", block_q=224), qkv, (rph, rpw), flops=attn_flops, m=4)
-    if which in ("all", "fusedsum"):
-        timeit("fsum-sweep seq (clamp)", rel_in_kernel_variant(False, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("fsum-sweep fused-sum (clamp)", rel_in_kernel_variant(False, "clamp", fused_sum=True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("fsum-sweep fused-sum (stable)", rel_in_kernel_variant(False, "stable", fused_sum=True), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("fsum-sweep fused-sum (fast)", rel_in_kernel_variant(False, "fast", fused_sum=True), qkv, (rph, rpw), flops=attn_flops, m=4)
-    if which in ("all", "ksplit"):
-        timeit("ksplit=1 (clamp, control)", rel_in_kernel_variant(False, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("ksplit=2 (clamp)", rel_in_kernel_variant(False, "clamp", ksplit=2), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("ksplit=4 (clamp)", rel_in_kernel_variant(False, "clamp", ksplit=4), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("ksplit=7 (clamp)", rel_in_kernel_variant(False, "clamp", ksplit=7), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("ksplit=2 bq=S (clamp)", rel_in_kernel_variant(False, "clamp", block_q=S, ksplit=2), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("ksplit=2+joint (clamp)", rel_in_kernel_variant(False, "clamp", ksplit=2, joint_rel=True), qkv, (rph, rpw), flops=attn_flops, m=4)
-    if which in ("all", "jointrel"):
-        timeit("joint_rel off (clamp, control)", rel_in_kernel_variant(False, "clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("joint_rel on (clamp)", rel_in_kernel_variant(False, "clamp", joint_rel=True), qkv, (rph, rpw), flops=attn_flops, m=4)
+        # the surviving schedule knob (see BENCHMARKS.md round-5 prune: the
+        # exp2 / pack-rw / interleave / fused-sum / joint-rel / ksplit
+        # variants all recorded ties or losses and were retired)
+        timeit("rel-in-kernel stable", rel_in_kernel_variant("stable"), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel clamp", rel_in_kernel_variant("clamp"), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel fast", rel_in_kernel_variant("fast"), qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "blockq"):
-        timeit("rel-in-kernel bq=S (one q-block)", rel_in_kernel_variant(False, "stable", False, S), qkv, (rph, rpw), flops=attn_flops, m=4)
-        timeit("rel-in-kernel bq=392", rel_in_kernel_variant(False, "stable", False, 392), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel bq=S (one q-block)", rel_in_kernel_variant("stable", S), qkv, (rph, rpw), flops=attn_flops, m=4)
+        timeit("rel-in-kernel bq=392", rel_in_kernel_variant("stable", 392), qkv, (rph, rpw), flops=attn_flops, m=4)
     if which in ("all", "kernel"):
         timeit("kernel_only (split rel)", kernel_only, qkv, (rel_h64, rel_w64), flops=attn_flops, m=4)
     if which in ("all", "producer"):

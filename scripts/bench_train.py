@@ -36,6 +36,26 @@ def main() -> None:
         "run_training, salted batches, checksum-chained",
     )
     ap.add_argument("--sync", action="store_true", help="block on the full state every step")
+    ap.add_argument(
+        "--no-scan", action="store_true",
+        help="chain N python-side train_step dispatches through the donated "
+        "state with ONE device-scalar checksum fetch, instead of wrapping N "
+        "steps in lax.scan. The scan-wrapped compile exceeds the compile "
+        "service's ~30 min transport timeout (observed rounds 3-5, remat or "
+        "not) while the bare train_step compiles in minutes (the e2e loop "
+        "and the AOT topology check both prove it); the dispatch chain is "
+        "still elision-proof — every step consumes the previous state and "
+        "feeds a device-side loss accumulator fetched once at the end",
+    )
+    ap.add_argument(
+        "--no-remat", action="store_true",
+        help="store activations instead of rematerializing encoder blocks in "
+        "backward. B=8 activations fit v5e HBM comfortably (~8 GB incl. "
+        "params), and the remat'd train step's XLA compile exceeds this "
+        "environment's ~30 min compile-service transport timeout (broken "
+        "pipe at minute 30, observed identically in rounds 3, 4 and 5) — "
+        "the no-remat graph is roughly half the op count and compiles",
+    )
     args = ap.parse_args()
     if args.debug:
         import jax
@@ -62,7 +82,7 @@ def main() -> None:
             checkpoint="random",
             batch_size=args.batch,
             compute_dtype="bfloat16",
-            remat=True,
+            remat=not args.no_remat,
             debug=args.debug,
             crop_size=crop,
             inpt_size=64 if args.debug else 448,
@@ -163,6 +183,54 @@ def _bench_steps(conf, scene, args) -> None:
             (st, acc), _ = jax.lax.scan(body, (state, jnp.float32(0)), jnp.arange(n))
             return acc + st.prompt_pixels.astype(jnp.float32).sum()
 
+        if args.no_scan:
+            # N chained DISPATCHES of the bare train_step: each step consumes
+            # the previous state (real data dependency — the runtime cannot
+            # reorder or elide), losses accumulate ON DEVICE, and the single
+            # scalar fetch at the end forces every execution to completion
+            # (fetching a derived scalar cannot return early; the round-3
+            # trap was blocking on DONATED state buffers, which report ready
+            # before execution finishes through this tunnel).
+            @jax.jit
+            def acc_loss(acc, loss, pixels):
+                return acc + loss + pixels.astype(jnp.float32).sum() * 1e-12
+
+            def run_n(n, key):
+                # fresh buffers: train_step DONATES the state, so the chain
+                # must start from a copy or the second run_n call would pass
+                # already-donated (deleted) buffers
+                st = jax.tree.map(jnp.copy, state)
+                acc = jnp.float32(0)
+                for i in range(n):
+                    k = jax.random.fold_in(key, i)
+                    b2 = dict(
+                        one_batch,
+                        image=one_batch["image"] * (1.0 + np.float32(i) * 1e-4),
+                    )
+                    st, metrics = tuner.train_step(st, params, pmasks, pnodata, b2, k)
+                    acc = acc_loss(acc, metrics["loss"], st.prompt_pixels)
+                return float(acc)  # ONE scalar device_get syncs everything
+
+            run_n(1, jax.random.PRNGKey(1))  # compile both programs
+            run_n(2, jax.random.PRNGKey(1))  # non-donated→donated steady shape
+            t1 = tn = None
+            for trial in range(2):  # min over trials
+                t0 = time.perf_counter()
+                run_n(1, jax.random.PRNGKey(2 + trial))
+                t1 = min(t1 or 9e9, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                run_n(args.steps, jax.random.PRNGKey(2 + trial))
+                tn = min(tn or 9e9, time.perf_counter() - t0)
+            dt = (tn - t1) / (args.steps - 1) * args.steps
+            ms = dt / args.steps * 1000
+            print(json.dumps({
+                "metric": "train_step_ms", "value": round(ms, 1), "unit": "ms/step",
+                "batch": b, "tiles_per_sec_trained": round(b / (dt / args.steps), 2),
+                "steps": args.steps, "remat": conf.remat,
+                "method": "differential dispatch-chain (N vs 1), device loss accumulator, one scalar fetch",
+            }))
+            return
+
         chain1 = jax.jit(lambda s, k, b: chain(s, k, b, 1))
         chainn = jax.jit(lambda s, k, b: chain(s, k, b, args.steps))
         float(chain1(state, jax.random.PRNGKey(1), one_batch))  # compile
@@ -181,7 +249,7 @@ def _bench_steps(conf, scene, args) -> None:
     print(json.dumps({
         "metric": "train_step_ms", "value": round(ms, 1), "unit": "ms/step",
         "batch": b, "tiles_per_sec_trained": round(b / (dt / args.steps), 2),
-        "steps": args.steps,
+        "steps": args.steps, "remat": conf.remat,
         "method": "differential scan-chain (N-in-one-jit vs 1), scalar checksum",
     }))
 

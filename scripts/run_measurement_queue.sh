@@ -54,6 +54,9 @@ bench 700  "headline-base-1"
 bench 1300 "headline-ksplit2"   BEACH_SEG_TPU_ATTN_KSPLIT=2
 bench 1300 "headline-jointrel"  BEACH_SEG_TPU_ATTN_JOINT_REL=1
 bench 700  "headline-base-2"
+run 1200 "e2e-tuned-1"        python scripts/bench_e2e.py
+run 1200 "e2e-tuned-procs"    env BEACH_SEG_TPU_MOSAIC_PROCS=1 python scripts/bench_e2e.py
+run 1200 "e2e-tuned-2"        python scripts/bench_e2e.py
 run 1200 "e2e-zero-shot"      python scripts/bench_e2e.py --engine zero_shot
 run 1200 "e2e-legacy"         python scripts/bench_e2e.py --engine legacy
 run 1500 "aot-huge"           python scripts/check_multichip_compile.py --huge

@@ -235,25 +235,6 @@ def test_qkv_rel_kernel_gradients_match(qkv_inputs):
         assert err / max(np.abs(np.asarray(r)).max(), 1e-9) < 1e-5
 
 
-def test_qkv_rel_env_knobs_wiring(qkv_inputs, monkeypatch):
-    """BEACH_SEG_TPU_ATTN_EXP2 / _NO_MAX reach the kernel through the public
-    entry point and keep parity."""
-    from beach_seg_tpu.ops.attention import rel_tables_padded
-    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
-
-    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
-    s = gh * gw
-    c = nh * hd
-    zb = jnp.zeros((3, c), jnp.float32)
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_EXP2", "1")
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_NO_MAX", "1")
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_PACK_RW", "1")
-    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
-    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
-    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
-    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
-
-
 def test_qkv_rel_softmax_mode_resolution(monkeypatch):
     """_resolve_softmax: env override wins; otherwise bf16→clamp, f32→stable."""
     from beach_seg_tpu.ops.pallas_attn import _resolve_softmax
@@ -268,16 +249,10 @@ def test_qkv_rel_softmax_mode_resolution(monkeypatch):
     assert _resolve_softmax(jnp.bfloat16) == "stable"
 
 
-@pytest.mark.parametrize(
-    "exp2,softmax,pack_rw",
-    [(True, "stable", False), (False, "fast", False), (True, "fast", False),
-     (False, "clamp", False), (True, "clamp", False),
-     (False, "stable", True), (True, "fast", True)],
-)
-def test_qkv_rel_softmax_variants_match(qkv_inputs, exp2, softmax, pack_rw):
-    """The exp2-folded softmax (log2e absorbed into scale + tables), the
-    clamp/fast stability variants and the packed-rel_w contraction must agree
-    with the reference up to rounding."""
+@pytest.mark.parametrize("softmax", ["stable", "clamp", "fast"])
+def test_qkv_rel_softmax_variants_match(qkv_inputs, softmax):
+    """The clamp/fast stability variants must agree with the reference up to
+    rounding (exact while row-max logits stay below the clamp threshold)."""
     from beach_seg_tpu.ops.attention import rel_tables_padded
     from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel
 
@@ -288,123 +263,7 @@ def test_qkv_rel_softmax_variants_match(qkv_inputs, exp2, softmax, pack_rw):
     rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
     got = _pallas_attention_qkv_rel(
         qkv.reshape(b, s, 3 * c), rh_tab, rw_tab, hd**-0.5, nh,
-        interpret=True, exp2=exp2, softmax=softmax, pack_rw=pack_rw,
+        interpret=True, softmax=softmax,
     )
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-4
 
-
-@pytest.mark.parametrize("softmax", ["stable", "clamp", "fast"])
-def test_qkv_rel_fused_sum_matches(qkv_inputs, softmax):
-    """`fused_sum` rides the softmax normalization on the PV matmul's padded
-    output lanes ([v ‖ 1] augmented operand) — must agree with the explicit
-    (BQ, S) reduce up to f32 accumulation-order rounding, through both the
-    private wrapper and the public env knob."""
-    from beach_seg_tpu.ops.attention import rel_tables_padded
-    from beach_seg_tpu.ops.pallas_attn import _pallas_attention_qkv_rel, fused_attention_qkv_rel
-
-    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
-    s = gh * gw
-    c = nh * hd
-    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
-    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
-    got = _pallas_attention_qkv_rel(
-        qkv.reshape(b, s, 3 * c), rh_tab, rw_tab, hd**-0.5, nh,
-        interpret=True, softmax=softmax, fused_sum=True,
-    )
-    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
-
-
-def test_qkv_rel_fused_sum_env_knob(qkv_inputs, monkeypatch):
-    """BEACH_SEG_TPU_ATTN_FUSED_SUM reaches the kernel through the public
-    entry point and keeps parity."""
-    from beach_seg_tpu.ops.attention import rel_tables_padded
-    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
-
-    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
-    s = gh * gw
-    c = nh * hd
-    zb = jnp.zeros((3, c), jnp.float32)
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_FUSED_SUM", "1")
-    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
-    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
-    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
-    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
-
-
-def test_qkv_rel_joint_rel_env_knob(qkv_inputs, monkeypatch):
-    """BEACH_SEG_TPU_ATTN_JOINT_REL (joint-halves rel-term production) keeps
-    parity through the public entry point — the joint batched dots are the
-    same per-element contractions, only packed at doubled M."""
-    from beach_seg_tpu.ops.attention import rel_tables_padded
-    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
-
-    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
-    s = gh * gw
-    c = nh * hd
-    zb = jnp.zeros((3, c), jnp.float32)
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_JOINT_REL", "1")
-    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
-    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
-    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
-    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
-
-
-@pytest.mark.parametrize("ksplit", [2, 4])
-def test_qkv_rel_ksplit_env_knob(qkv_inputs, monkeypatch, ksplit):
-    """BEACH_SEG_TPU_ATTN_KSPLIT (K-blocked single-pass schedule) keeps
-    parity through the public entry point under the max-free clamp softmax:
-    the per-element exp math is identical, only the row-sum / PV
-    accumulation order changes (f32 partials)."""
-    from beach_seg_tpu.ops.attention import rel_tables_padded
-    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
-
-    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
-    s = gh * gw
-    c = nh * hd
-    zb = jnp.zeros((3, c), jnp.float32)
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_SOFTMAX", "clamp")
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_KSPLIT", str(ksplit))
-    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
-    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
-    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
-    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
-
-
-def test_qkv_rel_ksplit_falls_back_with_stable_softmax(qkv_inputs, monkeypatch):
-    """ksplit requires a max-free softmax; with `stable` it must silently
-    fall back to the monolithic schedule and still match the oracle."""
-    from beach_seg_tpu.ops.attention import rel_tables_padded
-    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
-
-    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
-    s = gh * gw
-    c = nh * hd
-    zb = jnp.zeros((3, c), jnp.float32)
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_SOFTMAX", "stable")
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_KSPLIT", "2")
-    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
-    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
-    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
-    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
-
-
-def test_qkv_rel_ksplit_joint_rel_combo(qkv_inputs, monkeypatch):
-    """ksplit=2 AND joint_rel together — the combination that failed Mosaic
-    compile on real TPU in round 4 ("batch dims must be equal" at the joint
-    rw dot, ROUND4_RESULTS.log). Interpret mode can only pin the VALUES; the
-    Mosaic-lowerability of every knob combo is pinned by
-    scripts/aot_knob_sweep.py on a real compile service."""
-    from beach_seg_tpu.ops.attention import rel_tables_padded
-    from beach_seg_tpu.ops.pallas_attn import fused_attention_qkv_rel
-
-    qkv, rph, rpw, b, nh, hd, gh, gw = qkv_inputs
-    s = gh * gw
-    c = nh * hd
-    zb = jnp.zeros((3, c), jnp.float32)
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_SOFTMAX", "clamp")
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_KSPLIT", "2")
-    monkeypatch.setenv("BEACH_SEG_TPU_ATTN_JOINT_REL", "1")
-    ref = _qkv_reference(qkv, rph, rpw, b, nh, hd, gh, gw)
-    rh_tab, rw_tab = rel_tables_padded(rph, rpw, (gh, gw), (gh, gw))
-    got = fused_attention_qkv_rel(qkv.reshape(b, s, 3, c), zb, rh_tab, rw_tab, hd**-0.5, gw, nh)
-    assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5

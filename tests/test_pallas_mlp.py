@@ -52,72 +52,6 @@ def test_fused_mlp_gradients(mlp_inputs, approx):
         assert np.abs(np.asarray(a) - b).max() / denom < 1e-5
 
 
-def test_fused_ln_proj_matches_reference():
-    from beach_seg_tpu.ops.pallas_mlp import _ln_proj_reference, fused_ln_proj
-
-    rng = np.random.default_rng(5)
-    n, c = 64, 128
-    x = jnp.asarray(rng.standard_normal((2, n // 2, c)), jnp.float32)
-    ls = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
-    lb = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
-    w = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.05, jnp.float32)
-    ref = _ln_proj_reference(x.reshape(-1, c), ls, lb, w, 1e-6)
-    got = fused_ln_proj(x, ls, lb, w, 1e-6)
-    assert got.shape == (2, n // 2, 3 * c)
-    assert np.abs(np.asarray(got).reshape(ref.shape) - np.asarray(ref)).max() < 1e-5
-
-
-def test_fused_ln_proj_gradients():
-    """dx via the Pallas backward kernel (the prompt-tuning hot path) plus
-    the XLA weight/scale cotangents."""
-    from beach_seg_tpu.ops.pallas_mlp import _ln_proj_reference, fused_ln_proj
-
-    rng = np.random.default_rng(6)
-    n, c = 64, 128
-    x = jnp.asarray(rng.standard_normal((2, n // 2, c)), jnp.float32)
-    ls = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
-    lb = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
-    w = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.05, jnp.float32)
-
-    def loss_fused(x, ls, w):
-        return jnp.sum(fused_ln_proj(x, ls, lb, w, 1e-6) ** 2)
-
-    def loss_ref(x, ls, w):
-        return jnp.sum(_ln_proj_reference(x.reshape(-1, c), ls, lb, w, 1e-6) ** 2)
-
-    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, ls, w)
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ls, w)
-    for a, b in zip(gf, gr):
-        b = np.asarray(b).reshape(np.asarray(a).shape)
-        denom = max(np.abs(b).max(), 1e-6)
-        assert np.abs(np.asarray(a) - b).max() / denom < 1e-5
-
-
-def test_fused_ln_qkv_flag_parity(monkeypatch):
-    """BEACH_SEG_TPU_FUSED_LN_QKV routes ln1 into the qkv projection kernel;
-    the output must match the unfused bf16 path (kernel-engaging geometry:
-    head_dim=64, C multiple of 128)."""
-    from beach_seg_tpu.models.seggpt import SegGPT, init_random, tiny_config
-
-    cfg = tiny_config(
-        hidden_size=128,
-        num_attention_heads=2,
-        decoder_hidden_size=32,
-        drop_path_rate=0.0,
-    )
-    rng = np.random.default_rng(7)
-    h, w = cfg.image_size[0] // 2, cfg.image_size[1]
-    x = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
-    model = SegGPT(cfg, dtype=jnp.bfloat16)
-    params = init_random(model, cfg)
-
-    monkeypatch.delenv("BEACH_SEG_TPU_FUSED_LN_QKV", raising=False)
-    base = model.apply({"params": params}, x, x, x)["pred_masks"]
-    monkeypatch.setenv("BEACH_SEG_TPU_FUSED_LN_QKV", "1")
-    fused = model.apply({"params": params}, x, x, x)["pred_masks"]
-    assert np.abs(np.asarray(base, np.float32) - np.asarray(fused, np.float32)).max() < 0.05
-
-
 def test_bf16_block_uses_fused_path():
     """A bf16 tiny model forward agrees with the fp32 module path in class
     space (the fused kernel engages on every bf16 Block)."""
