@@ -88,3 +88,20 @@ def test_pred_config_overlay_fields():
     conf = parse_cli(PredConfig, ["n_prompts=3", "zero_shot_crop_size=224"])
     assert conf.n_prompts == 3 and conf.zero_shot_crop_size == 224
     assert conf.classes == ("nodata", "sand", "water", "veg")
+
+
+def _double_paths(paths):
+    # module-level so the spawn-context ProcessPoolExecutor can pickle it
+    return [p for p in paths for _ in range(2)]
+
+
+def test_mosaic_prefetcher_process_pool():
+    """BEACH_SEG_TPU_MOSAIC_PROCS path: spawn-context subprocess merges
+    deliver the same results in order (merge_fn must be picklable — the
+    engines pass functools.partial over module-level merge_tifs)."""
+    from beach_seg_tpu.data.prefetch import MosaicPrefetcher
+
+    dates = [(f"d{i}", [i]) for i in range(3)]
+    pf = MosaicPrefetcher(dates, _double_paths, workers=1, processes=True)
+    got = list(pf)
+    assert got == [("d0", [0, 0]), ("d1", [1, 1]), ("d2", [2, 2])]
